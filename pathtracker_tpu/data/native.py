@@ -1,0 +1,82 @@
+"""ctypes binding for the native C++ TFRecord reader (native/ptdata.cc).
+
+The native library decodes GZIP TFRecord shards (zlib inflate + record framing
++ minimal Example proto walk) off the Python hot path and releases the GIL, so
+the pipeline's worker threads truly overlap with training. Falls back cleanly
+when the shared object has not been built (pure-Python codec in tfrecord.py).
+
+Build: `make -C native` (produces native/libptdata.so).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SO_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libptdata.so"),
+    os.path.join(os.path.dirname(__file__), "libptdata.so"),
+]
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    for path in _SO_PATHS:
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+                lib.ptdata_read_file.restype = ctypes.c_void_p
+                lib.ptdata_read_file.argtypes = [ctypes.c_char_p, ctypes.c_int]
+                lib.ptdata_num_records.restype = ctypes.c_long
+                lib.ptdata_num_records.argtypes = [ctypes.c_void_p]
+                lib.ptdata_copy_clips.restype = ctypes.c_int
+                lib.ptdata_copy_clips.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_void_p,
+                    ctypes.c_void_p,
+                    ctypes.c_long,
+                ]
+                lib.ptdata_free.argtypes = [ctypes.c_void_p]
+                _LIB = lib
+                break
+            except OSError:
+                continue
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_clip_records(path: str, timesteps: int, height: int = 32, width: int = 32):
+    """Yield (uint8 [T,H,W,3] clip, label byte) from one shard via the C++ reader."""
+    lib = _load()
+    clip_bytes = timesteps * height * width * 3
+    handle = lib.ptdata_read_file(path.encode(), clip_bytes)
+    if not handle:
+        raise IOError(f"ptdata failed to read {path}")
+    try:
+        n = lib.ptdata_num_records(handle)
+        clips = np.empty((n, timesteps, height, width, 3), dtype=np.uint8)
+        labels = np.empty((n,), dtype=np.uint8)
+        rc = lib.ptdata_copy_clips(
+            handle,
+            clips.ctypes.data_as(ctypes.c_void_p),
+            labels.ctypes.data_as(ctypes.c_void_p),
+            n,
+        )
+        if rc != 0:
+            raise IOError(f"ptdata decode error {rc} in {path}")
+    finally:
+        lib.ptdata_free(handle)
+    for i in range(n):
+        yield clips[i], int(labels[i])

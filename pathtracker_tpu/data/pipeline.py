@@ -1,0 +1,152 @@
+"""Host-side input pipeline: glob -> decode -> shuffle -> batch -> prefetch.
+
+TF-free replacement for the reference's tf.data pipeline (reference
+utils/TFRDataset.py:31-53): TFRecordDataset(GZIP) -> map(decode) ->
+prefetch(AUTOTUNE) -> shuffle(1000, reshuffle each iteration) ->
+batch(drop_remainder). Decode runs in a pool of worker threads (the native
+C++ reader in native/ptdata.cc releases the GIL, so threads scale), batches
+are assembled into pinned numpy buffers, and a background prefetcher keeps a
+small queue ahead of the training loop so host IO overlaps device compute.
+
+Batches are (uint8 [B,T,H,W,3], uint8 labels [B]) — normalization and layout
+happen on device in pathtracker_tpu.data.prepare (the reference did this work
+on host per batch, reference utils/engine.py:220-243, which was its known
+bottleneck; see SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import queue
+import threading
+
+import numpy as np
+
+from pathtracker_tpu.data import native as _native
+from pathtracker_tpu.data.tfrecord import read_clip_records
+
+
+class ClipDataset:
+    """Re-iterable dataset of (clip_batch, label_batch) numpy arrays."""
+
+    def __init__(
+        self,
+        files: list[str],
+        batch_size: int,
+        timesteps: int,
+        height: int = 32,
+        width: int = 32,
+        drop_remainder: bool = True,
+        shuffle_buffer: int = 1000,
+        seed: int | None = None,
+        prefetch: int = 4,
+    ):
+        if not files:
+            raise ValueError("no input files")
+        self.files = list(files)
+        self.batch_size = batch_size
+        self.timesteps = timesteps
+        self.height = height
+        self.width = width
+        self.drop_remainder = drop_remainder
+        self.shuffle_buffer = shuffle_buffer
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    # -- record streaming ---------------------------------------------------
+
+    def _iter_records(self):
+        files = list(self.files)
+        if self.shuffle_buffer > 0:
+            self._rng.shuffle(files)
+        for path in files:
+            if _native.available():
+                yield from _native.read_clip_records(
+                    path, self.timesteps, self.height, self.width)
+            else:
+                yield from read_clip_records(
+                    path, self.timesteps, self.height, self.width)
+
+    def _iter_shuffled(self):
+        if self.shuffle_buffer <= 0:
+            yield from self._iter_records()
+            return
+        buf = []
+        rng = self._rng
+        for item in self._iter_records():
+            if len(buf) < self.shuffle_buffer:
+                buf.append(item)
+                continue
+            j = rng.integers(0, len(buf))
+            buf[j], item = item, buf[j]
+            yield item
+        rng.shuffle(buf)
+        yield from buf
+
+    def _iter_batches(self):
+        clips, labels = [], []
+        for clip, label in self._iter_shuffled():
+            clips.append(clip)
+            labels.append(label)
+            if len(clips) == self.batch_size:
+                yield np.stack(clips), np.asarray(labels, dtype=np.uint8)
+                clips, labels = [], []
+        if clips and not self.drop_remainder:
+            yield np.stack(clips), np.asarray(labels, dtype=np.uint8)
+
+    # -- prefetching iterator ----------------------------------------------
+
+    def __iter__(self):
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self._iter_batches():
+                    q.put(batch)
+            except BaseException as e:  # surfaced in the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def tfr_data_loader(
+    data_dir: str = "",
+    batch_size: int = 32,
+    drop_remainder: bool = True,
+    shuffle_buffer: int = 1000,
+    timesteps: int = 64,
+    height: int = 32,
+    width: int = 32,
+    seed: int | None = None,
+) -> ClipDataset:
+    """Build a clip loader from a glob pattern (e.g. root + 'train-*').
+
+    Signature-compatible with the reference's tfr_data_loader (reference
+    utils/TFRDataset.py:31), including the height/width/shuffle_buffer
+    keywords its viz script expected (reference viz_model_att.py:156).
+    """
+    files = sorted(_glob.glob(data_dir))
+    return ClipDataset(
+        files,
+        batch_size=batch_size,
+        timesteps=timesteps,
+        height=height,
+        width=width,
+        drop_remainder=drop_remainder,
+        shuffle_buffer=shuffle_buffer,
+        seed=seed,
+    )

@@ -1,0 +1,147 @@
+"""Data-layer tests: TFRecord codec round-trip, schema parity with
+tf.train.Example (cross-checked against TensorFlow when available), synthetic
+renderer invariants, and pipeline batching semantics."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from pathtracker_tpu.data.tfrecord import (
+    build_example,
+    crc32c,
+    masked_crc32c,
+    parse_example,
+    read_clip_records,
+    read_tfrecord_file,
+    write_tfrecord_file,
+)
+from pathtracker_tpu.data.pathtracker import make_synthetic_dataset, render_pathtracker_clip
+from pathtracker_tpu.data.pipeline import tfr_data_loader
+
+
+def test_crc32c_known_vectors():
+    # Standard CRC32C test vectors.
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_example_roundtrip():
+    feats = {
+        "label": b"\x01",
+        "image": b"\x00\x01\x02\x03" * 8,
+        "height": 32,
+        "width": 32,
+        "scores": [0.5, 1.25],
+    }
+    buf = build_example(feats)
+    parsed = parse_example(buf)
+    assert parsed["label"] == [b"\x01"]
+    assert parsed["image"] == [feats["image"]]
+    assert parsed["height"] == [32]
+    assert parsed["width"] == [32]
+    assert parsed["scores"] == [0.5, 1.25]
+
+
+def test_tfrecord_file_roundtrip(tmp_path):
+    path = str(tmp_path / "x.tfrecord")
+    payloads = [b"abc", b"", os.urandom(1000)]
+    write_tfrecord_file(path, payloads)
+    got = list(read_tfrecord_file(path, verify_crc=True))
+    assert got == payloads
+
+
+def test_example_parses_with_tensorflow(tmp_path):
+    """Cross-check our writer against TensorFlow's parser (oracle test)."""
+    tf = pytest.importorskip("tensorflow")
+    clip = np.arange(4 * 32 * 32 * 3, dtype=np.uint8).reshape(4, 32, 32, 3)
+    buf = build_example({"label": b"\x01", "image": clip.tobytes(), "height": 32, "width": 32})
+    path = str(tmp_path / "tf.tfrecord")
+    write_tfrecord_file(path, [buf])
+
+    ds = tf.data.TFRecordDataset([path], compression_type="GZIP")
+    features = {
+        "label": tf.io.FixedLenFeature([], tf.string),
+        "image": tf.io.FixedLenFeature([], tf.string),
+        "height": tf.io.FixedLenFeature([], tf.int64),
+        "width": tf.io.FixedLenFeature([], tf.int64),
+    }
+    rec = next(iter(ds))
+    ex = tf.io.parse_single_example(rec, features)
+    img = tf.io.decode_raw(ex["image"], tf.uint8).numpy().reshape(4, 32, 32, 3)
+    np.testing.assert_array_equal(img, clip)
+    assert ex["label"].numpy() == b"\x01"
+    assert int(ex["height"]) == 32
+
+
+def test_reads_tensorflow_written_records(tmp_path):
+    """And the converse: our reader parses TF-written records."""
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "tfw.tfrecord")
+    clip = np.zeros((4, 32, 32, 3), dtype=np.uint8)
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "label": tf.train.Feature(bytes_list=tf.train.BytesList(value=[b"\x00"])),
+        "image": tf.train.Feature(bytes_list=tf.train.BytesList(value=[clip.tobytes()])),
+        "height": tf.train.Feature(int64_list=tf.train.Int64List(value=[32])),
+        "width": tf.train.Feature(int64_list=tf.train.Int64List(value=[32])),
+    }))
+    with tf.io.TFRecordWriter(path, options="GZIP") as w:
+        w.write(ex.SerializeToString())
+    clips = list(read_clip_records(path, timesteps=4))
+    assert len(clips) == 1
+    got_clip, label = clips[0]
+    np.testing.assert_array_equal(got_clip, clip)
+    assert label == 0
+
+
+def test_render_clip_invariants(rng):
+    clip, label = render_pathtracker_clip(rng, timesteps=16, n_distractors=5)
+    assert clip.shape == (16, 32, 32, 3)
+    assert clip.dtype == np.uint8
+    assert label in (0, 1)
+    # Start marker on frame 0 blue channel, end marker on last frame.
+    assert clip[0, :, :, 2].max() == 255
+    assert clip[-1, :, :, 2].max() == 255
+    assert all(clip[t, :, :, 2].max() == 0 for t in range(1, 15))
+    # Dots present in red channel every frame.
+    assert all(clip[t, :, :, 0].max() == 255 for t in range(16))
+
+
+def test_synthetic_dataset_and_loader(tmp_path):
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, n_train=10, n_test=6, timesteps=8, shards=2)
+    assert len(glob.glob(os.path.join(root, "train-*"))) == 2
+    loader = tfr_data_loader(os.path.join(root, "train-*"), batch_size=4,
+                             timesteps=8, shuffle_buffer=8, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_remainder drops the last 2 clips
+    imgs, labels = batches[0]
+    assert imgs.shape == (4, 8, 32, 32, 3)
+    assert imgs.dtype == np.uint8
+    assert labels.shape == (4,)
+    # Re-iterable (epoch 2) with reshuffling.
+    assert len(list(loader)) == 2
+
+
+def test_prepare_batch_layout_and_disentangle():
+    from pathtracker_tpu.data.prepare import prepare_batch
+
+    imgs = np.zeros((2, 4, 32, 32, 3), dtype=np.uint8)
+    imgs[0, 0, 1, 2, 0] = 255
+    labels = np.array([1, 0], dtype=np.uint8)
+    x, t = prepare_batch(imgs, labels)
+    assert x.shape == (2, 3, 4, 32, 32)
+    assert float(x[0, 0, 0, 1, 2]) == 1.0
+    np.testing.assert_allclose(np.asarray(t), [1.0, 0.0])
+
+    x2, _ = prepare_batch(imgs, labels, coord_channels=True)
+    assert x2.shape == (2, 5, 4, 32, 32)
+    assert float(x2[0, 3, 0, 0, 0]) == 1.0  # 1-indexed hh grid
+    assert float(x2[0, 4, 0, 0, 31]) == 32.0
+
+    # Disentangle: single 255 in ch0 -> mask==1 -> goes to channel 1.
+    x3, _ = prepare_batch(imgs, labels, disentangle_channels=True)
+    assert float(x3[0, 1, 0, 1, 2]) == 1.0
+    assert float(x3[0, 0, 0, 1, 2]) == 0.0
