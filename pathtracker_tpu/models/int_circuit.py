@@ -1,0 +1,215 @@
+"""The InT gated recurrent circuit (the reference's primary model).
+
+Re-derivation of reference models/InT.py (rCell :58, InT :182, FC :248) as a
+TPU-first `lax.scan`. Per-step dynamics (reference models/InT.py:145-179), all
+in softplus range, state = (inhibition, excitation):
+
+    att   = sigmoid(a_w(x_t) + a_u(exc))                  # attention spotlight
+    g_exc = att * exc
+    inh~  = sp(x_t - sp(BN0(conv(g_exc, w_inh)) * (alpha*inh + mu)))
+    g_i   = sigmoid(i_w(x_t) + i_u(inh))
+    inh'  = (1-g_i)*inh + g_i*inh~
+    g_e   = sigmoid(e_w(inh) + e_u(g_exc))                # uses the OLD inh
+    exc~  = sp(BN1(conv(inh', w_exc)) * (kappa*inh' + gamma))
+    exc'  = (1-g_e)*exc + g_e*exc~
+
+with a 1x1x1 Conv3d+softplus preproc (3 -> C channels) before the scan and the
+target-conditioned readout after it. `no_inh` collapses the inhibition branch
+(inh' = g_exc, and the e-gate then reads the OLD exc, reference
+models/InT.py:168); the four lesion switches freeze alpha/mu/gamma/kappa at 0
+(the reference's intent: its `.weight = 0.` on an nn.Parameter was a no-op
+accident, see SURVEY.md header).
+
+TPU-first structure:
+  * the input-dependent gate projections a_w(x_t) and i_w(x_t) plus the
+    preproc are hoisted out of the scan into batched [B*T*H*W, C] matmuls
+    (MXU-shaped), so the sequential step only carries state-dependent work;
+  * per-step BatchNorm uses current-batch statistics (the reference's
+    track_running_stats=False), making the whole model a pure function;
+  * the step is `jax.checkpoint`-ed so 64-128 frame BPTT stores only the
+    (inh, exc) carry per step instead of every intermediate.
+
+BatchNorm inside the scan computes stats over the *local* batch under plain
+jit over a data-sharded mesh XLA turns these into global-batch (sync) stats;
+this differs from the reference's DataParallel per-replica stats, which is a
+deliberate upgrade (documented in SURVEY.md §7 hard-part b).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pathtracker_tpu.models import common
+from pathtracker_tpu.ops import initializers as pt_init
+from pathtracker_tpu.ops.layers import batch_norm, conv2d, dense, softplus
+
+
+def _nl(name: str):
+    return {"softplus": softplus, "tanh": jnp.tanh}[name]
+
+
+class InT(nn.Module):
+    """InT wrapper: preproc -> scan(rCell) -> target-conditioned readout.
+
+    Contract (matches reference models/InT.py:210-245):
+      __call__(x [B,3,T,H,W]) -> (logit [B,1], jv_penalty [1])
+      __call__(x, testmode=True) -> (logit, states [B,T,1,H,W], gates [B,T,C,H,W])
+    """
+
+    dimensions: int = 32
+    timesteps: int = 64
+    kernel_size: int = 7
+    jacobian_penalty: bool = False
+    grad_method: str = "bptt"
+    use_attention: bool = True
+    no_inh: bool = False
+    lesion_alpha: bool = False
+    lesion_mu: bool = False
+    lesion_gamma: bool = False
+    lesion_kappa: bool = False
+    nl: str = "softplus"
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, x, testmode: bool = False):
+        c = self.dimensions
+        k = self.kernel_size
+        act = _nl(self.nl)
+
+        # ---- parameters (names mirror the reference's state_dict keys) ----
+        pre_kernel = self.param("preproc_kernel", pt_init.torch_conv_default, (3, c))
+        pre_bias = self.param("preproc_bias", pt_init.torch_conv_bias(3), (c,))
+
+        if self.use_attention:
+            a_w = self.param("a_w_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+            a_u = self.param("a_u_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+            a_w_b = self.param("a_w_gate_bias", pt_init.constant(1.0), (c,))
+            a_u_b = self.param("a_u_gate_bias", pt_init.constant(1.0), (c,))
+            # Gate biases tied to the negated attention bias at init
+            # (reference models/InT.py:121-125).
+            i_w_b = self.param("i_w_gate_bias", pt_init.constant(-1.0), (c,))
+            i_u_b = self.param("i_u_gate_bias", pt_init.constant(-1.0), (c,))
+            e_w_b = self.param("e_w_gate_bias", pt_init.constant(-1.0), (c,))
+            e_u_b = self.param("e_u_gate_bias", pt_init.constant(-1.0), (c,))
+        else:
+            # Chrono-style init (reference intent at models/InT.py:127-131).
+            i_w_b = self.param("i_w_gate_bias", pt_init.chrono_gate_bias(self.timesteps), (c,))
+            i_u_b = self.param("i_u_gate_bias", pt_init.chrono_gate_bias(self.timesteps), (c,))
+            e_w_b = self.param("e_w_gate_bias", lambda k_, s: -i_w_b, (c,))
+            e_u_b = self.param("e_u_gate_bias", lambda k_, s: -i_u_b, (c,))
+
+        i_w = self.param("i_w_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+        i_u = self.param("i_u_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+        e_w = self.param("e_w_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+        e_u = self.param("e_u_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+
+        w_exc = self.param("w_exc", pt_init.torch_orthogonal_conv, (k, k, c, c))
+        if not self.no_inh:
+            w_inh = self.param("w_inh", pt_init.torch_orthogonal_conv, (k, k, c, c))
+            alpha = 0.0 if self.lesion_alpha else self.param("alpha", pt_init.constant(1.0), (c,))
+            mu = 0.0 if self.lesion_mu else self.param("mu", pt_init.constant(0.0), (c,))
+        gamma = 0.0 if self.lesion_gamma else self.param("gamma", pt_init.constant(0.0), (c,))
+        kappa = 0.0 if self.lesion_kappa else self.param("kappa", pt_init.constant(1.0), (c,))
+        # `w` exists in the reference cell but is unused by its forward
+        # (reference models/InT.py:100); kept for checkpoint parity.
+        self.param("w", pt_init.constant(1.0), (c,))
+
+        bn0_scale = self.param("bn0_scale", pt_init.constant(0.1), (c,))
+        bn0_bias = self.param("bn0_bias", nn.initializers.zeros, (c,))
+        bn1_scale = self.param("bn1_scale", pt_init.constant(0.1), (c,))
+        bn1_bias = self.param("bn1_bias", nn.initializers.zeros, (c,))
+
+        ro = common.make_readout_params(self, c)
+
+        # ---- preproc + hoisted input projections (big batched matmuls) ----
+        xc = common.bcthw_to_bthwc(x)  # [B,T,H,W,3]
+        b, t, h, w_, _ = xc.shape
+        xbn = act(dense(xc, pre_kernel, pre_bias))  # [B,T,H,W,C]
+        if self.use_attention:
+            att_in = dense(xbn, a_w, a_w_b)  # a_w(x_t) for all t at once
+        gi_in = dense(xbn, i_w, i_w_b)  # i_w(x_t) for all t at once
+
+        # Scan over time: xs are [T, B, H, W, C].
+        def to_tb(z):
+            return jnp.transpose(z, (1, 0, 2, 3, 4))
+
+        xs = (to_tb(xbn), to_tb(att_in) if self.use_attention else None,
+              to_tb(gi_in))
+
+        def step(carry, xt):
+            inh, exc = carry
+            inp, att_x, gi_x = xt
+            if self.use_attention:
+                att = jax.nn.sigmoid(att_x + dense(exc, a_u, a_u_b))
+                gated_exc = att * exc
+            else:
+                att = jnp.ones_like(exc)
+                gated_exc = exc
+            if not self.no_inh:
+                inh_intx = batch_norm(conv2d(gated_exc, w_inh), bn0_scale, bn0_bias)
+                inh_hat = act(inp - act(inh_intx * (alpha * inh + mu)))
+                g_i = jax.nn.sigmoid(gi_x + dense(inh, i_u, i_u_b))
+                new_inh = (1.0 - g_i) * inh + g_i * inh_hat
+                gate_inh_ref = inh  # e-gate reads the pre-update inhibition
+            else:
+                new_inh = gated_exc
+                gate_inh_ref = exc  # reference models/InT.py:168
+            g_e = jax.nn.sigmoid(dense(gate_inh_ref, e_w, e_w_b) + dense(gated_exc, e_u, e_u_b))
+            exc_intx = batch_norm(conv2d(new_inh, w_exc), bn1_scale, bn1_bias)
+            exc_hat = act(exc_intx * (kappa * new_inh + gamma))
+            new_exc = (1.0 - g_e) * exc + g_e * exc_hat
+            if testmode:
+                ys = (common.readout_state_map(ro, new_exc), att)
+            else:
+                ys = None
+            return (new_inh, new_exc), ys
+
+        if self.remat:
+            step = jax.checkpoint(step)
+
+        zeros = jnp.zeros((b, h, w_, c), xbn.dtype)
+        (inh, exc), ys = jax.lax.scan(step, (zeros, zeros), xs)
+
+        target_frame = xc[:, 0, :, :, 2]  # blue channel of frame 0
+        logit = common.target_readout(ro, exc, target_frame)
+        if testmode:
+            states, gates = ys  # [T,B,H,W,1], [T,B,H,W,C]
+            states = jnp.transpose(states, (1, 0, 4, 2, 3))  # [B,T,1,H,W]
+            gates = jnp.transpose(gates, (1, 0, 4, 2, 3))  # [B,T,C,H,W]
+            return logit, states, gates
+        jv_penalty = jnp.ones((1,), xbn.dtype)
+        return logit, jv_penalty
+
+
+class FC(nn.Module):
+    """Linear probe baseline (reference models/InT.py:248-271): 1x1x1 Conv3d
+    preproc -> BatchNorm3d (batch stats) -> flatten -> Linear(T*C*H*W, 1)."""
+
+    dimensions: int = 32
+    timesteps: int = 64
+    kernel_size: int = 15
+    jacobian_penalty: bool = False
+    grad_method: str = "bptt"
+
+    @nn.compact
+    def __call__(self, x, testmode: bool = False):
+        c = self.dimensions
+        xc = common.bcthw_to_bthwc(x)
+        b, t, h, w_, _ = xc.shape
+        pre_kernel = self.param("preproc_kernel", pt_init.torch_conv_default, (3, c))
+        pre_bias = self.param("preproc_bias", pt_init.torch_conv_bias(3), (c,))
+        bn_scale = self.param("bn_scale", nn.initializers.ones, (c,))
+        bn_bias = self.param("bn_bias", nn.initializers.zeros, (c,))
+        feat_in = t * c * h * w_
+        ro_kernel = self.param("readout_kernel", pt_init.torch_conv_default, (feat_in, 1))
+        ro_bias = self.param("readout_bias", pt_init.torch_conv_bias(feat_in), (1,))
+
+        z = batch_norm(dense(xc, pre_kernel, pre_bias), bn_scale, bn_bias)
+        # Flatten in the reference's BCTHW order so weights map 1:1.
+        z = common.bthwc_to_bcthw(z).reshape(b, -1)
+        logit = dense(z, ro_kernel, ro_bias)
+        return logit, jnp.ones((1,), z.dtype)

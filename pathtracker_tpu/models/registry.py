@@ -1,0 +1,125 @@
+"""Model registry: name -> constructor, mirroring reference utils/engine.py:75-217.
+
+Every reference `--model` name resolves here. MODEL_FAMILY mirrors the three
+forward-contract families dispatched by the reference's model_step
+(reference utils/engine.py:29-30,42-72):
+  'recurrent'    forward(x) -> (logit, jv_penalty); testmode adds states/gates
+  'torchvision'  forward(x) -> logit only
+  'slowfast'     forward([slow, fast]) -> logit only
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+MODEL_FAMILY = {
+    "r3d": "torchvision",
+    "mc3": "torchvision",
+    "r2plus1": "torchvision",
+    "nostride_r3d": "torchvision",
+    "nostride_r3d_pos": "torchvision",
+    "nostride_r3d_cc": "torchvision",
+    "nostride_video_cc_small": "torchvision",
+    "rntsm": "torchvision",
+    "slowfast": "slowfast",
+    "slowfast_nl": "slowfast",
+}
+
+
+def family(model_name: str) -> str:
+    return MODEL_FAMILY.get(model_name, "recurrent")
+
+
+def model_selector(model_name: str, timesteps: int, fb_kernel_size: int = 7,
+                   dimensions: int = 32, pretrained: bool = False, **kwargs: Any):
+    """Build the model for a reference `--model` name."""
+    from pathtracker_tpu.models import int_circuit
+
+    if model_name == "InT":
+        return int_circuit.InT(dimensions=dimensions, timesteps=timesteps,
+                               kernel_size=fb_kernel_size, **kwargs)
+    if model_name == "InT_no_inh":  # excitation-only circuit
+        return int_circuit.InT(dimensions=dimensions, timesteps=timesteps,
+                               kernel_size=fb_kernel_size, no_inh=True, **kwargs)
+    if model_name == "InT_no_mult":  # lesion div-inh + add-exc ("reverse mely")
+        return int_circuit.InT(dimensions=dimensions, timesteps=timesteps,
+                               kernel_size=fb_kernel_size,
+                               lesion_alpha=True, lesion_gamma=True, **kwargs)
+    if model_name == "InT_no_add":  # lesion sub-inh + mult-exc ("mely style")
+        return int_circuit.InT(dimensions=dimensions, timesteps=timesteps,
+                               kernel_size=fb_kernel_size,
+                               lesion_mu=True, lesion_kappa=True, **kwargs)
+    if model_name == "InT_mult_add":  # div/mult only
+        return int_circuit.InT(dimensions=dimensions, timesteps=timesteps,
+                               kernel_size=fb_kernel_size,
+                               lesion_gamma=True, lesion_mu=True, **kwargs)
+    if model_name == "InT_only_add":  # sub/add only
+        return int_circuit.InT(dimensions=dimensions, timesteps=timesteps,
+                               kernel_size=fb_kernel_size,
+                               lesion_alpha=True, lesion_kappa=True, **kwargs)
+    if model_name == "InT_tanh":
+        return int_circuit.InT(dimensions=dimensions, timesteps=timesteps,
+                               kernel_size=fb_kernel_size, nl="tanh", **kwargs)
+    if model_name == "fc":
+        return int_circuit.FC(dimensions=dimensions, timesteps=timesteps,
+                              kernel_size=fb_kernel_size)
+
+    if model_name == "hgru":
+        from pathtracker_tpu.models import hgru
+        return hgru.FFhGRU(dimensions=dimensions, timesteps=timesteps,
+                           kernel_size=fb_kernel_size, **kwargs)
+    if model_name == "hgru_v2":
+        from pathtracker_tpu.models import hgru
+        return hgru.FFhGRUv2(dimensions=dimensions, timesteps=timesteps,
+                             kernel_size=fb_kernel_size, **kwargs)
+    if model_name == "gru":
+        from pathtracker_tpu.models import convgru
+        # The reference doubles the width for the ConvGRU baseline
+        # (reference utils/engine.py:148-153).
+        return convgru.GRU(dimensions=dimensions * 2, timesteps=timesteps,
+                           kernel_size=fb_kernel_size, **kwargs)
+    if model_name == "convlstm":
+        from pathtracker_tpu.models import convlstm
+        return convlstm.ConvLSTM(timesteps=timesteps, **kwargs)
+    if model_name == "stlstm":
+        from pathtracker_tpu.models import stlstm
+        return stlstm.FFSTLSTM(timesteps=timesteps, **kwargs)
+    if model_name == "fflstm":
+        from pathtracker_tpu.models import fflstm
+        return fflstm.FFLSTM(timesteps=timesteps, **kwargs)
+    if model_name == "lrcn":
+        from pathtracker_tpu.models import lrcn
+        return lrcn.LRCNStyle(timesteps=timesteps, **kwargs)
+    if model_name == "lrcn_last":
+        from pathtracker_tpu.models import lrcn
+        return lrcn.LRCNStyleLast(timesteps=timesteps, **kwargs)
+    if model_name == "ffnet":
+        from pathtracker_tpu.models import ffnet
+        return ffnet.FFConvNet(**kwargs)
+
+    if model_name in ("r3d", "mc3", "r2plus1"):
+        from pathtracker_tpu.models import video_resnet
+        return video_resnet.build(model_name, **kwargs)
+    if model_name in ("nostride_r3d", "nostride_r3d_pos", "nostride_r3d_cc",
+                      "nostride_video_cc_small"):
+        from pathtracker_tpu.models import video_resnet
+        return video_resnet.build(model_name, timesteps=timesteps, **kwargs)
+    if model_name == "rntsm":
+        from pathtracker_tpu.models import tsm_resnet
+        return tsm_resnet.resnet50_tsm(num_segments=8, flow_estimation=True, **kwargs)
+    if model_name in ("slowfast", "slowfast_nl"):
+        from pathtracker_tpu.models import slowfast
+        return slowfast.build(model_name, **kwargs)
+    if model_name == "timesformer":
+        from pathtracker_tpu.models import transformers
+        return transformers.TransformerModel(dimensions=dimensions, timesteps=timesteps,
+                                             **kwargs)
+    if model_name == "performer":
+        from pathtracker_tpu.models import transformers
+        return transformers.PerformerModel(dimensions=dimensions, timesteps=timesteps,
+                                           **kwargs)
+    if model_name == "lambda":
+        from pathtracker_tpu.models import transformers
+        return transformers.LambdaModel(dimensions=dimensions, timesteps=timesteps,
+                                        **kwargs)
+    raise NotImplementedError(f"Model not found: {model_name!r}")

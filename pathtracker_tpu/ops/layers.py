@@ -1,0 +1,140 @@
+"""Functional NN primitives with the reference's torch numerics, NHWC layout.
+
+Everything here is a pure function of (x, params) — no state. BatchNorm is the
+reference's track_running_stats=False flavor (reference models/InT.py:102):
+normalize by the *current batch* statistics in train AND eval, biased
+variance, eps=1e-3. Under a data-sharded mesh the reductions are global by
+construction when called inside jit over sharded arrays (XLA inserts the
+collectives), which upgrades the reference's per-replica DataParallel BN to
+sync-BN; `axis_name` enables the same inside shard_map/pmap bodies.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# All contractions pin full-f32 accumulation explicitly: XLA's DEFAULT matmul
+# precision downcasts f32 inputs (bf16 passes on the MXU, and measurably ~bf16
+# on this CPU backend too), which silently breaks parity with the reference.
+# The bf16 fast path is opt-in by *casting inputs* (dtype policy), never by
+# letting DEFAULT precision truncate f32 math.
+PRECISION = lax.Precision.HIGHEST
+
+
+def softplus(x):
+    """Torch-accurate softplus: log1p(exp(x)) with the x>20 passthrough.
+
+    jax.nn.softplus (logaddexp) loses ~1e-4 absolute in f32; this form matches
+    torch to ~1e-7, which matters for golden parity through long recurrences.
+    """
+    return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
+
+
+def dense(x, kernel, bias=None):
+    """[..., Cin] @ [Cin, Cout] with full-precision accumulation.
+
+    The models' 1x1 convs all lower to this (MXU-shaped over the flattened
+    batch*space axis)."""
+    y = lax.dot_general(x, kernel, (((x.ndim - 1,), (0,)), ((), ())),
+                        precision=PRECISION)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def conv2d(x, kernel, bias=None, stride=1, padding="SAME", dilation=1,
+           groups: int = 1):
+    """NHWC conv with HWIO kernel (torch cross-correlation semantics)."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = lax.conv_general_dilated(
+        x, kernel,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision=PRECISION,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def conv3d(x, kernel, bias=None, stride=1, padding="SAME", dilation=1):
+    """NTHWC conv with THWIO kernel."""
+    if isinstance(stride, int):
+        stride = (stride, stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation, dilation)
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * 3
+    elif isinstance(padding, (tuple, list)) and all(isinstance(p, int) for p in padding):
+        padding = [(p, p) for p in padding]
+    y = lax.conv_general_dilated(
+        x, kernel,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        precision=PRECISION,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def batch_norm(x, scale, bias, eps: float = 1e-3, axis_name: str | None = None):
+    """Batch-statistics norm over all axes but the last (channel) axis.
+
+    Works for NHWC (stats over N,H,W) and NTHWC (stats over N,T,H,W), i.e.
+    torch BatchNorm2d/BatchNorm3d with track_running_stats=False.
+    """
+    reduce_axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=reduce_axes)
+    mean2 = jnp.mean(jnp.square(x), axis=reduce_axes)
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
+        mean2 = lax.pmean(mean2, axis_name)
+    var = mean2 - jnp.square(mean)  # biased variance, as torch uses for normalization
+    inv = lax.rsqrt(var + eps)
+    return (x - mean) * (inv * scale) + bias
+
+
+def layer_norm_2d(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm over (H, W, C) per sample (torch nn.LayerNorm([C,H,W]) on NCHW
+    equals normalizing each sample over all non-batch axes)."""
+    axes = tuple(range(1, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    y = (x - mean) * lax.rsqrt(var + eps)
+    return y * scale + bias
+
+
+def global_avg_pool(x):
+    """NHWC -> [N, C] spatial mean (torch avg_pool2d with full-size kernel)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def max_pool2d(x, window=2, stride=None, padding="VALID"):
+    if stride is None:
+        stride = window
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        (1, window, window, 1), (1, stride, stride, 1), padding)
+
+
+def avg_pool2d(x, window=2, stride=None, padding="VALID"):
+    if stride is None:
+        stride = window
+    summed = lax.reduce_window(
+        x, 0.0, lax.add, (1, window, window, 1), (1, stride, stride, 1), padding)
+    return summed / float(window * window)
