@@ -1,0 +1,173 @@
+"""hGRU family — the earlier variant of the InT circuit
+(reference models/ffhgru_hierarchy.py: hConvGRUCell :59, FFhGRU :176,
+FFhGRU_v2 :279).
+
+Differences from the InT rCell (reference models/ffhgru_hierarchy.py:135-173):
+  * the attention gate also replaces the inhibition input to the gates:
+    gated_inhibition = att_gate (not the inhibition state);
+  * with use_attention=False the snapshot's forward crashed on undefined
+    gated_excitation/gated_inhibition (NameError); the intent — plain
+    ungated state passthrough — is implemented here (SURVEY.md header);
+  * FFhGRU_v2 reads out by concatenating the raw excitation with channels
+    1: of frame 0 into a 1x1 conv (no dense scale), reference :302,:347.
+
+Same TPU-first structure as InT: hoisted input projections, lax.scan,
+per-step jax.checkpoint, batch-stat BN.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pathtracker_tpu.models import common
+from pathtracker_tpu.ops import initializers as pt_init
+from pathtracker_tpu.ops.layers import batch_norm, conv2d, dense, global_avg_pool, softplus
+
+
+class _HGRUBase(nn.Module):
+    """Shared cell params + scan for FFhGRU / FFhGRU_v2."""
+
+    dimensions: int = 32
+    timesteps: int = 64
+    kernel_size: int = 15
+    jacobian_penalty: bool = False
+    grad_method: str = "bptt"
+    use_attention: bool = True
+    remat: bool = True
+
+    def _cell_params(self):
+        c = self.dimensions
+        k = self.kernel_size
+        p = {}
+        if self.use_attention:
+            p["a_w"] = self.param("a_w_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+            p["a_u"] = self.param("a_u_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+            p["a_w_b"] = self.param("a_w_gate_bias", pt_init.constant(1.0), (c,))
+            p["a_u_b"] = self.param("a_u_gate_bias", pt_init.constant(1.0), (c,))
+            p["i_w_b"] = self.param("i_w_gate_bias", pt_init.constant(-1.0), (c,))
+            p["i_u_b"] = self.param("i_u_gate_bias", pt_init.constant(-1.0), (c,))
+            p["e_w_b"] = self.param("e_w_gate_bias", pt_init.constant(-1.0), (c,))
+            p["e_u_b"] = self.param("e_u_gate_bias", pt_init.constant(-1.0), (c,))
+        else:
+            i_w_b = self.param("i_w_gate_bias", pt_init.chrono_gate_bias(self.timesteps), (c,))
+            i_u_b = self.param("i_u_gate_bias", pt_init.chrono_gate_bias(self.timesteps), (c,))
+            p["i_w_b"], p["i_u_b"] = i_w_b, i_u_b
+            p["e_w_b"] = self.param("e_w_gate_bias", lambda k_, s: -i_w_b, (c,))
+            p["e_u_b"] = self.param("e_u_gate_bias", lambda k_, s: -i_u_b, (c,))
+        p["i_w"] = self.param("i_w_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+        p["i_u"] = self.param("i_u_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+        p["e_w"] = self.param("e_w_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+        p["e_u"] = self.param("e_u_gate_kernel", pt_init.torch_orthogonal_matrix, (c, c))
+        p["w_inh"] = self.param("w_inh", pt_init.torch_orthogonal_conv, (k, k, c, c))
+        p["w_exc"] = self.param("w_exc", pt_init.torch_orthogonal_conv, (k, k, c, c))
+        p["alpha"] = self.param("alpha", pt_init.constant(1.0), (c,))
+        p["mu"] = self.param("mu", pt_init.constant(0.0), (c,))
+        p["gamma"] = self.param("gamma", pt_init.constant(0.0), (c,))
+        p["kappa"] = self.param("kappa", pt_init.constant(1.0), (c,))
+        self.param("w", pt_init.constant(1.0), (c,))
+        p["bn0_scale"] = self.param("bn0_scale", pt_init.constant(0.1), (c,))
+        p["bn0_bias"] = self.param("bn0_bias", nn.initializers.zeros, (c,))
+        p["bn1_scale"] = self.param("bn1_scale", pt_init.constant(0.1), (c,))
+        p["bn1_bias"] = self.param("bn1_bias", nn.initializers.zeros, (c,))
+        return p
+
+    def _run_scan(self, xbn, p, collect: bool):
+        """xbn: [B,T,H,W,C] preprocessed input. Returns (inh, exc, ys)."""
+        b, t, h, w_, c = xbn.shape
+        if self.use_attention:
+            att_in = dense(xbn, p["a_w"], p["a_w_b"])
+        gi_in = dense(xbn, p["i_w"], p["i_w_b"])
+
+        def to_tb(z):
+            return jnp.transpose(z, (1, 0, 2, 3, 4))
+
+        xs = (to_tb(xbn), to_tb(att_in) if self.use_attention else None, to_tb(gi_in))
+
+        def step(carry, xt):
+            inh, exc = carry
+            inp, att_x, gi_x = xt
+            if self.use_attention:
+                att = jax.nn.sigmoid(att_x + dense(exc, p["a_u"], p["a_u_b"]))
+                gated_exc = att * exc
+                gated_inh = att  # hGRU quirk: gate tensor stands in for inhibition
+            else:
+                att = jnp.ones_like(exc)
+                gated_exc = exc
+                gated_inh = inh
+            inh_intx = batch_norm(conv2d(gated_exc, p["w_inh"]),
+                                  p["bn0_scale"], p["bn0_bias"])
+            inh_hat = softplus(inp - softplus(inh_intx * (p["alpha"] * gated_inh + p["mu"])))
+            g_i = jax.nn.sigmoid(gi_x + dense(gated_inh, p["i_u"], p["i_u_b"]))
+            new_inh = (1.0 - g_i) * inh + g_i * inh_hat
+            g_e = jax.nn.sigmoid(dense(gated_inh, p["e_w"], p["e_w_b"])
+                                 + dense(gated_exc, p["e_u"], p["e_u_b"]))
+            exc_intx = batch_norm(conv2d(new_inh, p["w_exc"]),
+                                  p["bn1_scale"], p["bn1_bias"])
+            exc_hat = softplus(exc_intx * (p["kappa"] * new_inh + p["gamma"]))
+            new_exc = (1.0 - g_e) * exc + g_e * exc_hat
+            ys = (new_exc, att) if collect else None
+            return (new_inh, new_exc), ys
+
+        if self.remat:
+            step = jax.checkpoint(step)
+        zeros = jnp.zeros((b, h, w_, c), xbn.dtype)
+        (inh, exc), ys = jax.lax.scan(step, (zeros, zeros), xs)
+        return inh, exc, ys
+
+
+class FFhGRU(_HGRUBase):
+    """hGRU with attention and the target-conditioned readout
+    (reference models/ffhgru_hierarchy.py:176-276)."""
+
+    @nn.compact
+    def __call__(self, x, testmode: bool = False):
+        c = self.dimensions
+        pre_kernel = self.param("preproc_kernel", pt_init.torch_conv_default, (3, c))
+        pre_bias = self.param("preproc_bias", pt_init.torch_conv_bias(3), (c,))
+        p = self._cell_params()
+        ro = common.make_readout_params(self, c)
+
+        xc = common.bcthw_to_bthwc(x)
+        xbn = softplus(dense(xc, pre_kernel, pre_bias))
+        inh, exc, ys = self._run_scan(xbn, p, collect=testmode)
+        logit = common.target_readout(ro, exc, xc[:, 0, :, :, 2])
+        if testmode:
+            excs, atts = ys
+            states = common.readout_state_map(ro, excs)  # [T,B,H,W,1]
+            states = jnp.transpose(states, (1, 0, 4, 2, 3))
+            gates = jnp.transpose(atts, (1, 0, 4, 2, 3))
+            return logit, states, gates
+        return logit, jnp.ones((1,), xbn.dtype)
+
+
+class FFhGRUv2(_HGRUBase):
+    """No-attention variant with the wide readout: cat(excitation, frame-0
+    channels 1:) -> Conv2d(C+2, 1, 1) -> global pool
+    (reference models/ffhgru_hierarchy.py:279-362)."""
+
+    use_attention: bool = False
+
+    @nn.compact
+    def __call__(self, x, testmode: bool = False):
+        c = self.dimensions
+        pre_kernel = self.param("preproc_kernel", pt_init.torch_conv_default, (3, c))
+        pre_bias = self.param("preproc_bias", pt_init.torch_conv_bias(3), (c,))
+        p = self._cell_params()
+        tc_kernel = self.param("target_conv_kernel", pt_init.torch_conv_default,
+                               (c + 2, 1))
+        tc_bias = self.param("target_conv_bias", nn.initializers.zeros, (1,))
+
+        xc = common.bcthw_to_bthwc(x)
+        xbn = softplus(dense(xc, pre_kernel, pre_bias))
+        inh, exc, ys = self._run_scan(xbn, p, collect=testmode)
+        merged = jnp.concatenate([exc, xc[:, 0, :, :, 1:]], axis=-1)
+        out = dense(merged, tc_kernel, tc_bias)  # 1x1 conv
+        logit = global_avg_pool(out)
+        if testmode:
+            excs, atts = ys
+            states = jnp.transpose(excs, (1, 0, 4, 2, 3))  # raw excitation maps
+            gates = jnp.transpose(atts, (1, 0, 4, 2, 3))
+            return logit, states, gates
+        return logit, jnp.ones((1,), xbn.dtype)

@@ -1,0 +1,4 @@
+from pathtracker_tpu.train.loop import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Checkpoint IO: one coherent msgpack format + best-checkpoint selection.
+
+Fixes the reference's split-brain checkpointing (EarlyStopping wrote a raw
+state_dict while engine.load_ckpt expected {'state_dict': ...} — reference
+utils/earlystopping.py:55 vs utils/engine.py:262): every checkpoint here is
+  {"state_dict": params-pytree, "epoch": int, "acc": float, "extra": {...}}
+serialized with flax msgpack. `find_best_checkpoint` reproduces the
+val.npz-argmax + mtime-sorted selection of reference test_model.py:59-64.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, params, epoch: int = 0, acc: float = 0.0,
+                    extra: dict | None = None) -> None:
+    import jax
+
+    state = {
+        "state_dict": jax.device_get(params),
+        "epoch": np.asarray(epoch),
+        "acc": np.asarray(acc),
+        "extra": jax.device_get(extra) if extra else {},
+    }
+    blob = serialization.msgpack_serialize(state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def load_params(path: str, template=None, strict: bool = True):
+    """Restore params from a checkpoint; with a template pytree, missing keys
+    keep template values when strict=False (the reference viz script wanted
+    load_ckpt(..., strict=False), reference viz_model_att.py:172)."""
+    state = load_checkpoint(path)
+    params = state["state_dict"] if "state_dict" in state else state
+    if template is None:
+        return params
+    if strict:
+        return serialization.from_state_dict(template, params)
+    merged = _merge(dict(template) if isinstance(template, dict) else template, params)
+    return merged
+
+
+def _merge(template, loaded):
+    if isinstance(template, dict) and isinstance(loaded, dict):
+        return {k: _merge(template[k], loaded[k]) if k in loaded else template[k]
+                for k in template}
+    return loaded if loaded is not None else template
+
+
+def find_best_checkpoint(results_folder: str) -> str:
+    """val.npz balacc argmax, indexed into mtime-sorted saved_models/*.tar
+    (reference test_model.py:59-64)."""
+    perfs = np.load(os.path.join(results_folder, "val.npz"))["balacc"]
+    arg_perf = int(np.argmax(perfs))
+    weights = glob.glob(os.path.join(results_folder, "saved_models", "*.tar"))
+    weights.sort(key=os.path.getmtime)
+    if not weights:
+        raise FileNotFoundError(f"no checkpoints under {results_folder}/saved_models")
+    # The reference indexed checkpoint files by val-epoch index; checkpoints
+    # only exist for improving epochs, so clamp like the snapshot's data did.
+    return weights[min(arg_perf, len(weights) - 1)]

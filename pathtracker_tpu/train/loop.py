@@ -1,0 +1,254 @@
+"""Training entry point — the reference mainclean.py flow, TPU-native.
+
+Flow parity (reference mainclean.py:107-256): dataset_selector -> two
+tfr_data_loaders -> model_selector -> (optional) data-parallel mesh ->
+hp_dict.npz snapshot -> BCEWithLogits + Adam -> epoch loop with per-batch
+train_step + meters + txt/npz sinks -> per-epoch validate(logiters=3) ->
+EarlyStopping(patience=200) checkpointing.
+
+TPU-native differences: the batch stays uint8 until inside the jitted step;
+--parallel shards the batch over a Mesh(('data',)) instead of DataParallel;
+early stop returns instead of os._exit(1).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from statistics import mean
+
+import jax
+import numpy as np
+
+from pathtracker_tpu import engine
+from pathtracker_tpu.data.pipeline import tfr_data_loader
+from pathtracker_tpu.parallel import mesh as mesh_lib
+from pathtracker_tpu.train import checkpoint as ckpt_lib
+from pathtracker_tpu.train.steps import make_eval_step, make_optimizer, make_train_step
+from pathtracker_tpu.utils.earlystopping import EarlyStopping
+from pathtracker_tpu.utils.meters import AverageMeter
+from pathtracker_tpu.utils.opts import parser
+
+
+def save_npz(log_dict: dict, results_folder: str, savename: str = "train") -> None:
+    """train.npz / val.npz observability sinks (reference mainclean.py:101-104)."""
+    with open(os.path.join(results_folder, savename + ".npz"), "wb") as f:
+        np.savez(f, **{k: np.asarray(v) for k, v in log_dict.items()})
+
+
+def results_folder_for(args) -> str:
+    stem = f"{args.length}_{args.speed}_{args.dist}"
+    if args.optical_flow:
+        stem = f"{stem}_flow"
+    return os.path.join(args.results_dir, stem, str(args.name))
+
+
+def init_model(args, timesteps: int, in_channels: int = 3):
+    """Build the model and init params with the run seed."""
+    import jax.numpy as jnp
+
+    model = engine.model_selector(args, timesteps=timesteps)
+    coord = "_cc" in args.model and args.model != "nostride_video_cc_small"
+    c = in_channels + (2 if coord else 0)
+    sample = jnp.zeros((2, c, timesteps, 32, 32), jnp.float32)
+    if engine.family(args.model) == "slowfast":
+        sample = engine.slowfast_pathways(sample)
+        variables = model.init(jax.random.key(args.seed), sample)
+    else:
+        variables = model.init(jax.random.key(args.seed), sample)
+    return model, variables
+
+
+def validate(val_loader, eval_step, params, args, results_folder,
+             len_val_loader, logiters=None, disentangle_channels=False):
+    """Validation loop (reference mainclean.py:54-98)."""
+    meters = {k: AverageMeter() for k in
+              ("loss", "balacc", "precision", "recall", "f1score", "batch_time")}
+    end = time.time()
+    for i, (imgs, target) in enumerate(val_loader):
+        stats = eval_step(params, imgs, target)
+        meters["loss"].update(float(stats["loss"]), 1)
+        meters["balacc"].update(float(stats["balacc"]), 1)
+        meters["precision"].update(float(stats["precision"]), 1)
+        meters["recall"].update(float(stats["recall"]), 1)
+        meters["f1score"].update(float(stats["f1score"]), 1)
+        meters["batch_time"].update(time.time() - end)
+        end = time.time()
+        if logiters is None:
+            if i % args.print_freq == 0:
+                line = (f"Test: [{i * args.batch_size}/{len_val_loader}]\t "
+                        f"Time: {meters['batch_time'].avg:.3f}\t "
+                        f"Loss: {meters['loss'].val:.8f} ({meters['loss'].avg:.8f})\t "
+                        f"Bal_acc: {meters['balacc'].avg:.8f} "
+                        f"preci: {meters['precision'].avg:.5f} "
+                        f"rec: {meters['recall'].avg:.5f} f1: {meters['f1score'].avg:.5f}")
+                print(line)
+                with open(os.path.join(results_folder, args.name + ".txt"), "a+") as f:
+                    f.write(line + "\n")
+        elif i > logiters:
+            break
+    m = meters
+    return (m["balacc"].avg, m["precision"].avg, m["recall"].avg,
+            m["f1score"].avg, m["loss"].avg)
+
+
+def main(args=None, max_steps_per_epoch: int | None = None):
+    if args is None:
+        args = parser.parse_args()
+    assert args.dist is not None, "You must pass a PT distance."
+    assert args.speed is not None, "You must pass a PT speed."
+    assert args.length is not None, "You must pass a PT length."
+    disentangle_channels = False
+
+    pf_root, timesteps, len_train_loader, len_val_loader = engine.dataset_selector(
+        dist=args.dist, speed=args.speed, length=args.length,
+        optical_flow=args.optical_flow,
+        synth_train=args.synth_train, synth_test=args.synth_test)
+
+    print("Loading training dataset")
+    train_loader = tfr_data_loader(
+        data_dir=pf_root + "train-*", batch_size=args.batch_size,
+        drop_remainder=True, timesteps=args.length, seed=args.seed)
+    print("Loading validation dataset")
+    val_loader = tfr_data_loader(
+        data_dir=pf_root + "test-*", batch_size=args.batch_size,
+        drop_remainder=True, timesteps=args.length, seed=args.seed)
+
+    results_folder = results_folder_for(args)
+    os.makedirs(results_folder, exist_ok=True)
+    ES = EarlyStopping(patience=200, results_folder=results_folder)
+
+    model, variables = init_model(args, timesteps)
+    params = variables["params"]
+    n_params = sum(int(np.prod(np.shape(v))) for v in jax.tree.leaves(params))
+    print(n_params)
+
+    mesh = None
+    if args.parallel:
+        mesh = mesh_lib.make_mesh()
+        params = mesh_lib.replicate_tree(mesh, params)
+        print("Loading parallel finished on device count:", len(jax.devices()))
+    else:
+        print("Loading finished")
+
+    # hp_dict.npz snapshot (reference mainclean.py:140-155)
+    hp_dict = {
+        "penalty": args.penalty,
+        "start_epoch": args.start_epoch,
+        "epochs": args.epochs,
+        "lr": args.lr,
+        "loaded_ckpt": str(args.ckpt),
+        "results_dir": results_folder,
+        "exp_name": args.name,
+        "algo": args.algo,
+        "dimensions": args.dimensions,
+        "fb_kernel_size": args.fb_kernel_size,
+        "timesteps": timesteps,
+        "param_names_shapes": np.asarray(
+            [f"{jax.tree_util.keystr(k)}:{np.shape(v)}"
+             for k, v in jax.tree_util.tree_leaves_with_path(params)]),
+    }
+    np.savez(os.path.join(results_folder, "hp_dict"), **hp_dict)
+
+    optimizer = make_optimizer(args.lr)
+    if args.ckpt is not None:
+        params = engine.load_ckpt(params, args.ckpt)
+    opt_state = optimizer.init(params)
+
+    prep = {"disentangle_channels": disentangle_channels,
+            "pretrained_norm": args.pretrained,
+            "coord_channels": "_cc" in args.model and args.model != "nostride_video_cc_small"}
+    train_step = make_train_step(model, args.model, optimizer,
+                                 penalty=args.penalty, prepare_kwargs=prep)
+    eval_step = make_eval_step(model, args.model, prepare_kwargs=prep)
+
+    val_log_dict = {"loss": [], "balacc": [], "precision": [], "recall": [],
+                    "f1score": []}
+    train_log_dict = {"loss": [], "balacc": [], "precision": [], "recall": [],
+                      "f1score": [], "jvpen": [], "scaled_loss": []}
+
+    vopt = opt_state
+    stop = False
+    for epoch in range(args.start_epoch, args.epochs):
+        meters = {k: AverageMeter() for k in
+                  ("batch_time", "data_time", "loss", "balacc", "precision",
+                   "recall", "f1score")}
+        time_since_last = time.time()
+        end = time.perf_counter()
+
+        for idx, (imgs, target) in enumerate(train_loader):
+            meters["data_time"].update(time.perf_counter() - end)
+            if mesh is not None:
+                imgs = jax.device_put(imgs, mesh_lib.batch_sharding(mesh))
+                target = jax.device_put(target, mesh_lib.batch_sharding(mesh))
+            params, vopt, stats = train_step(params, vopt, imgs, target)
+            loss = float(stats["loss"])
+            meters["loss"].update(loss, 1)
+            train_log_dict["jvpen"].append(float(stats["jvpen"]))
+            train_log_dict["scaled_loss"].append(float(stats["scaled_loss"]))
+            meters["balacc"].update(float(stats["balacc"]), 1)
+            meters["precision"].update(float(stats["precision"]), 1)
+            meters["recall"].update(float(stats["recall"]), 1)
+            meters["f1score"].update(float(stats["f1score"]), 1)
+            meters["batch_time"].update(time.perf_counter() - end)
+            end = time.perf_counter()
+
+            if idx % args.print_freq == 0:
+                time_now = time.time()
+                pf = max(args.print_freq, 1)
+                line = (
+                    f"Epoch: [{epoch}][{idx}/{len_train_loader}]  lr: {args.lr:g}  "
+                    f"Time: {meters['batch_time'].val:.3f} "
+                    f"(itavg:{mean(meters['batch_time'].history[-pf:]):.3f}) "
+                    f"({meters['batch_time'].avg:.3f})  "
+                    f"Data: {meters['data_time'].val:.3f} ({meters['data_time'].avg:.3f}) "
+                    f"Loss: {meters['loss'].val:.8f} "
+                    f"({mean(meters['loss'].history[-pf:]):.8f}) "
+                    f"({meters['loss'].avg:.8f})  "
+                    f"bal_acc: {meters['balacc'].val:.5f} ({meters['balacc'].avg:.5f}) "
+                    f"preci: {meters['precision'].val:.5f} ({meters['precision'].avg:.5f}) "
+                    f"rec: {meters['recall'].val:.5f} ({meters['recall'].avg:.5f})  "
+                    f"f1: {meters['f1score'].val:.5f} ({meters['f1score'].avg:.5f}) "
+                    f"jvpen: {train_log_dict['jvpen'][-1]:.12f} "
+                    f"{time_now - time_since_last:.3f}")
+                print(line)
+                time_since_last = time_now
+                with open(os.path.join(results_folder, args.name + ".txt"), "a+") as f:
+                    f.write(line + "\n")
+            if max_steps_per_epoch is not None and idx + 1 >= max_steps_per_epoch:
+                break
+
+        train_log_dict["loss"].extend(meters["loss"].history)
+        train_log_dict["balacc"].extend(meters["balacc"].history)
+        train_log_dict["precision"].extend(meters["precision"].history)
+        train_log_dict["recall"].extend(meters["recall"].history)
+        train_log_dict["f1score"].extend(meters["f1score"].history)
+        save_npz(train_log_dict, results_folder, "train")
+        save_npz(val_log_dict, results_folder, "val")
+
+        accv, precv, recv, f1sv, losv = validate(
+            val_loader, eval_step, params, args, results_folder,
+            len_val_loader, logiters=3,
+            disentangle_channels=disentangle_channels)
+        line = f"val f {f1sv} val loss {losv}"
+        print(line)
+        val_log_dict["loss"].append(losv)
+        val_log_dict["balacc"].append(accv)
+        val_log_dict["precision"].append(precv)
+        val_log_dict["recall"].append(recv)
+        val_log_dict["f1score"].append(f1sv)
+        with open(os.path.join(results_folder, args.name + ".txt"), "a+") as f:
+            f.write(line + "\n")
+        save_npz(val_log_dict, results_folder, "val")
+        ES(accv, params, epoch)
+        if ES.early_stop:
+            print("Early stopping triggered. Quitting.")
+            stop = True
+            break
+    return {"params": params, "results_folder": results_folder,
+            "val_log": val_log_dict, "train_log": train_log_dict,
+            "early_stopped": stop}
+
+
+if __name__ == "__main__":
+    main()

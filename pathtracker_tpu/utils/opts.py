@@ -1,0 +1,67 @@
+"""Command-line flags, argparse-compatible with reference utils/opts.py:2-46.
+
+Every reference flag is accepted with the same name and default; flags the
+reference's scripts referenced but never defined (--which_tests,
+--set_name, --b — see SURVEY.md snapshot-health notes) are provided for real.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="TPU-native PathTracker framework")
+    parser.add_argument("--name", type=str, default="hgru")
+    parser.add_argument("--model", type=str, default="hgru")
+    parser.add_argument("--algo", type=str, default="bptt",
+                        help="gradient method: bptt | rbp")
+    parser.add_argument("--penalty", default=False, action="store_true",
+                        help="add the Jacobian stability penalty to the loss")
+    parser.add_argument("--pretrained", default=False, action="store_true")
+    parser.add_argument("--optical_flow", default=False, action="store_true")
+
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--dist", type=int)
+    parser.add_argument("--speed", type=int)
+    parser.add_argument("--length", type=int)
+
+    # learning configs
+    parser.add_argument("--epochs", default=30, type=int, metavar="N")
+    parser.add_argument("-b", "--batch-size", default=256, type=int, metavar="N")
+    parser.add_argument("--lr", "--learning-rate", default=3e-4, type=float,
+                        metavar="LR", dest="lr")
+    parser.add_argument("--lr_steps", default=[20, 40], type=float, nargs="+",
+                        metavar="LRSteps")
+
+    parser.add_argument("-d", "--dimensions", default=32, type=int)
+    parser.add_argument("-k", "--fb_kernel_size", default=7, type=int)
+
+    # monitoring
+    parser.add_argument("--print-freq", "-p", default=100, type=int, metavar="N")
+    parser.add_argument("--eval-freq", "-ef", default=1, type=int, metavar="N")
+    parser.add_argument("-parallel", "--parallel", default=False, action="store_true",
+                        help="shard the batch over all devices on the mesh")
+    parser.add_argument("--start-epoch", default=0, type=int, metavar="N")
+    parser.add_argument("--log", default=False, action="store_true")
+    parser.add_argument("--val-freq", "-vf", default=2000, type=int, metavar="N")
+
+    # flags the reference launchers used but never defined (SURVEY.md header)
+    parser.add_argument("--which_tests", type=str, default=None,
+                        help="restrict eval to configs with this clip length")
+    parser.add_argument("--set_name", type=str, default=None,
+                        help="human-experiment clip set for viz")
+    parser.add_argument("--results-dir", type=str, default="results",
+                        help="root folder for logs/checkpoints")
+
+    # TPU-native extensions (additive; do not change reference semantics)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", default=False, action="store_true",
+                        help="bfloat16 compute for the hot path")
+    parser.add_argument("--synth-train", type=int, default=None,
+                        help="synthetic dataset size if TFRecords are missing")
+    parser.add_argument("--synth-test", type=int, default=None)
+    return parser
+
+
+parser = build_parser()

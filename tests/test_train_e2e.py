@@ -1,0 +1,105 @@
+"""End-to-end integration: train a tiny InT on synthetic TFRecords, verify
+logging/checkpoint artifacts, then run the eval and viz flows on the result.
+Exercises the full reference surface: mainclean -> test_model -> viz."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    os.environ["PATHTRACKER_DATA_ROOT"] = str(tmp / "data")
+    os.environ["PATHTRACKER_SYNTH_TRAIN"] = "24"
+    os.environ["PATHTRACKER_SYNTH_TEST"] = "24"
+
+    from pathtracker_tpu.train.loop import main
+    from pathtracker_tpu.utils.opts import build_parser
+
+    args = build_parser().parse_args([
+        "--model", "InT", "--name", "e2e", "--length", "8", "--speed", "1",
+        "--dist", "1", "-b", "8", "--lr", "3e-4", "--epochs", "2",
+        "--print-freq", "2", "-d", "8", "-k", "3",
+        "--results-dir", str(tmp / "results"),
+    ])
+    result = main(args, max_steps_per_epoch=3)
+    return args, result
+
+
+def test_train_artifacts(trained_run):
+    args, result = trained_run
+    folder = result["results_folder"]
+    # npz/txt observability sinks (reference mainclean.py:224-234)
+    assert os.path.exists(os.path.join(folder, "train.npz"))
+    assert os.path.exists(os.path.join(folder, "val.npz"))
+    assert os.path.exists(os.path.join(folder, "hp_dict.npz"))
+    assert os.path.exists(os.path.join(folder, "e2e.txt"))
+    val = np.load(os.path.join(folder, "val.npz"))
+    assert set(val.files) == {"loss", "balacc", "precision", "recall", "f1score"}
+    assert len(val["balacc"]) == 2  # one entry per epoch
+    train = np.load(os.path.join(folder, "train.npz"))
+    assert {"loss", "balacc", "jvpen", "scaled_loss"} <= set(train.files)
+    # EarlyStopping checkpoint naming (reference utils/earlystopping.py:54)
+    ckpts = glob.glob(os.path.join(folder, "saved_models", "*.pth.tar"))
+    assert ckpts, "no checkpoints saved"
+    assert "model_val_acc_" in os.path.basename(ckpts[0])
+    assert np.isfinite(train["loss"]).all()
+
+
+def test_checkpoint_roundtrip(trained_run):
+    import jax
+
+    args, result = trained_run
+    from pathtracker_tpu.train import checkpoint as ckpt_lib
+    from pathtracker_tpu.train.loop import init_model
+
+    best = ckpt_lib.find_best_checkpoint(result["results_folder"])
+    _, variables = init_model(args, timesteps=8)
+    restored = ckpt_lib.load_params(best, template=variables["params"])
+    trained = result["params"]
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(restored),
+            jax.tree_util.tree_leaves_with_path(trained)):
+        assert np.asarray(va).shape == np.asarray(vb).shape
+
+
+def test_eval_flow(trained_run):
+    args, result = trained_run
+    from pathtracker_tpu.eval.test_model import evaluate_model
+    from pathtracker_tpu.train import checkpoint as ckpt_lib
+    from types import SimpleNamespace
+
+    eargs = SimpleNamespace(**vars(args))
+    eargs.ckpt = ckpt_lib.find_best_checkpoint(result["results_folder"])
+    acc, loss = evaluate_model(result["results_folder"], eargs, prep_gifs=0,
+                               dist=1, speed=1, length=8)
+    assert 0.0 <= acc <= 1.0
+    assert np.isfinite(loss)
+    out = os.path.join(result["results_folder"], "test_perf_dist_1_speed_1_length_8.npz")
+    assert os.path.exists(out)
+
+
+def test_viz_flow(trained_run, monkeypatch):
+    args, result = trained_run
+    from pathtracker_tpu.data import registry
+    from pathtracker_tpu.eval import viz
+    from pathtracker_tpu.train import checkpoint as ckpt_lib
+    from types import SimpleNamespace
+
+    # Point a human set at the tiny synthetic config.
+    monkeypatch.setitem(registry.HUMAN_DATASETS, "gen_test",
+                        {"dist": 1, "speed": 1, "length": 8})
+    vargs = SimpleNamespace(**vars(args))
+    vargs.ckpt = ckpt_lib.find_best_checkpoint(result["results_folder"])
+    vargs.set_name = "gen_test"
+    vargs.batch_size = 8
+    model_acc, human_acc = viz.evaluate_model(vargs, result["results_folder"],
+                                              batch_size=8)
+    assert 0.0 <= model_acc <= 1.0
+    npz = os.path.join(result["results_folder"], "mturk_visualizations_gen_test.npz")
+    assert os.path.exists(npz)
+    data = np.load(npz)
+    assert "pos_grads" in data and "attention" in data
