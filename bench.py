@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark: InT fwd+bwd throughput on 64-frame PathTracker clips.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+Measures the full jitted training step (uint8 batch in, prep + forward +
+BCE + backward + Adam update) on the flagship InT config (dimensions=32,
+kernel=7, T=64, 32x32 clips) — the reference's canonical train config
+(reference train_InT.sh:3) — at the largest batch that fits comfortably.
+vs_baseline compares against the measured PyTorch-reference number when
+BASELINE.json carries one; the reference publishes none ("published": {}),
+so it reports the ratio to the recorded value or 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def measure(batch: int = 128, timesteps: int = 64, iters: int = 20,
+            warmup: int = 3, bf16: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
+
+    model = InT(dimensions=32, timesteps=timesteps, kernel_size=7)
+    sample = jnp.zeros((batch, 3, timesteps, 32, 32), jnp.float32)
+    params = model.init(jax.random.key(0), sample)["params"]
+    optimizer = make_optimizer(3e-4)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model, "InT", optimizer)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(batch, timesteps, 32, 32, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(batch,), dtype=np.uint8)
+    imgs = jax.device_put(imgs)
+    labels = jax.device_put(labels)
+
+    for _ in range(warmup):
+        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+    float(stats["loss"])  # host fetch: the only true sync on the axon backend
+    # (block_until_ready returns before execution completes there).
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+        float(stats["loss"])
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    p50 = float(np.percentile(lat, 50))
+    return {
+        "clips_per_sec": batch / p50,
+        "p50_batch_latency_s": p50,
+        "batch": batch,
+        "timesteps": timesteps,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", 128))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    res = measure(batch=batch, iters=iters)
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
+            pub = json.load(f).get("published", {})
+        baseline = pub.get("clips_per_sec_chip")
+    except Exception:
+        pass
+    vs = res["clips_per_sec"] / baseline if baseline else 1.0
+    print(json.dumps({
+        "metric": "InT fwd+bwd clips/sec/chip, 64-frame PathTracker",
+        "value": round(res["clips_per_sec"], 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(vs, 3),
+        "p50_batch_latency_s": round(res["p50_batch_latency_s"], 4),
+        "batch": res["batch"],
+        "device": res["device"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
