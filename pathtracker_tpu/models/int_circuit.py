@@ -73,12 +73,17 @@ class InT(nn.Module):
     lesion_kappa: bool = False
     nl: str = "softplus"
     remat: bool = True
+    # Compute dtype policy: 'float32' for reference parity, 'bfloat16' for the
+    # TPU fast path (params stay f32 masters; activations and MXU inputs are
+    # bf16; BN statistics and the loss stay f32 — see ops.layers).
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, testmode: bool = False):
         c = self.dimensions
         k = self.kernel_size
         act = _nl(self.nl)
+        compute_dtype = jnp.dtype(self.dtype)
 
         # ---- parameters (names mirror the reference's state_dict keys) ----
         pre_kernel = self.param("preproc_kernel", pt_init.torch_conv_default, (3, c))
@@ -125,8 +130,19 @@ class InT(nn.Module):
 
         ro = common.make_readout_params(self, c)
 
+        if compute_dtype != jnp.float32:
+            # Per-channel scalars enter elementwise math directly; cast them so
+            # bf16*f32 promotion doesn't silently upcast the whole cell.
+            def _c(v):
+                return v.astype(compute_dtype) if hasattr(v, "astype") else v
+
+            gamma, kappa = _c(gamma), _c(kappa)
+            if not self.no_inh:
+                alpha, mu = _c(alpha), _c(mu)
+
         # ---- preproc + hoisted input projections (big batched matmuls) ----
         xc = common.bcthw_to_bthwc(x)  # [B,T,H,W,3]
+        xc = xc.astype(compute_dtype)
         b, t, h, w_, _ = xc.shape
         xbn = act(dense(xc, pre_kernel, pre_bias))  # [B,T,H,W,C]
         if self.use_attention:
@@ -175,7 +191,7 @@ class InT(nn.Module):
         (inh, exc), ys = jax.lax.scan(step, (zeros, zeros), xs)
 
         target_frame = xc[:, 0, :, :, 2]  # blue channel of frame 0
-        logit = common.target_readout(ro, exc, target_frame)
+        logit = common.target_readout(ro, exc, target_frame).astype(jnp.float32)
         if testmode:
             states, gates = ys  # [T,B,H,W,1], [T,B,H,W,C]
             states = jnp.transpose(states, (1, 0, 4, 2, 3))  # [B,T,1,H,W]

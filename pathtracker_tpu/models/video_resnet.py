@@ -1,0 +1,243 @@
+"""Video ResNet family — torchvision r3d_18 / mc3_18 / r2plus1d_18 plus the
+reference's "no-stride" forks (reference models/nostridetv.py,
+nostridetv_cc.py, nostridetv_cc_smallest.py, nostridetv_positions.py).
+
+Block types (reference nostridetv.py:19-82): Conv3DSimple (3x3x3),
+Conv3DNoTemporal (1x3x3), Conv2Plus1D (spatial 1x3x3 -> BN -> ReLU ->
+temporal 3x1x1 with the FLOP-matched midplanes). BasicBlock = conv-BN-ReLU,
+conv-BN, +residual, ReLU.
+
+Variants:
+  r3d / mc3 / r2plus1      torchvision semantics: strided stem (1,2,2),
+                           stride-2 stages, 1x1x1 strided downsample,
+                           AdaptiveAvgPool + fc (num_classes=1 via the
+                           engine's fc replacement, reference engine.py:188-190)
+  nostride_r3d             dilated stem (stride 1, dilation (1,2,2)), widths
+                           //4, stride-1 blocks with a SAME-padded dilated
+                           downsample conv (reference nostridetv.py:252-254 —
+                           NOTE the snapshot's unpadded version produces
+                           mismatched residual shapes at runtime; the
+                           documented "no-stride" intent, resolution
+                           preservation, requires SAME padding)
+  nostride_r3d_cc          5-channel stem (coord channels appended by
+                           prepare_data), 32-wide stem, widths //2 (//4 for
+                           stages 3-4), num_classes=1
+  nostride_r3d_pos         5-channel stem, normalized meshgrid coords
+                           appended INSIDE forward, stride-1 stages
+  nostride_video_cc_small  3-ch stem, constant 32-wide stages, last-frame
+                           feature map + frame-0 blue-channel target ->
+                           Conv2d(33,1,5) -> Linear(1024,1) (reference
+                           nostridetv_cc_smallest.py:238-253)
+
+All norms are batch-stat (framework stance; torchvision used running stats).
+Init parity: kaiming-normal fan_out/relu convs, BN (1,0), fc normal(0.01).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pathtracker_tpu.models import common
+from pathtracker_tpu.ops import initializers as pt_init
+from pathtracker_tpu.ops.layers import batch_norm, conv2d, conv3d, dense
+
+
+def _kaiming_out(key, shape, dtype=jnp.float32):
+    """kaiming_normal(fan_out, relu) for THWIO kernels."""
+    fan_out = int(np.prod(shape[:3])) * shape[4]
+    std = float(np.sqrt(2.0 / fan_out))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class _ConvBN(nn.Module):
+    cin: int
+    cout: int
+    kernel: tuple
+    stride: tuple = (1, 1, 1)
+    dilation: tuple = (1, 1, 1)
+    relu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", _kaiming_out, (*self.kernel, self.cin, self.cout))
+        y = conv3d(x, k, stride=self.stride, padding="SAME", dilation=self.dilation)
+        y = batch_norm(y, self.param("bn_scale", nn.initializers.ones, (self.cout,)),
+                       self.param("bn_bias", nn.initializers.zeros, (self.cout,)))
+        return jax.nn.relu(y) if self.relu else y
+
+
+def _midplanes(cin, cout):
+    return (cin * cout * 3 * 3 * 3) // (cin * 3 * 3 + 3 * cout)
+
+
+class _BlockConv(nn.Module):
+    """One conv_builder application (reference nostridetv.py:19-60)."""
+
+    kind: str  # 'simple' | 'no_temporal' | '2plus1'
+    cin: int
+    cout: int
+    stride: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == "simple":
+            k = self.param("kernel", _kaiming_out, (3, 3, 3, self.cin, self.cout))
+            return conv3d(x, k, stride=self.stride, padding="SAME")
+        if self.kind == "no_temporal":
+            k = self.param("kernel", _kaiming_out, (1, 3, 3, self.cin, self.cout))
+            return conv3d(x, k, stride=(1, self.stride[1], self.stride[2]),
+                          padding="SAME")
+        mid = _midplanes(self.cin, self.cout)
+        k1 = self.param("kernel_s", _kaiming_out, (1, 3, 3, self.cin, mid))
+        y = conv3d(x, k1, stride=(1, self.stride[1], self.stride[2]), padding="SAME")
+        y = batch_norm(y, self.param("bn_scale", nn.initializers.ones, (mid,)),
+                       self.param("bn_bias", nn.initializers.zeros, (mid,)))
+        y = jax.nn.relu(y)
+        k2 = self.param("kernel_t", _kaiming_out, (3, 1, 1, mid, self.cout))
+        return conv3d(y, k2, stride=(self.stride[0], 1, 1), padding="SAME")
+
+
+class _BasicBlock(nn.Module):
+    kind: str
+    cin: int
+    planes: int
+    stride: int = 1
+    nostride: bool = False  # stride-1 main path + dilated SAME downsample
+
+    @nn.compact
+    def __call__(self, x):
+        s = 1 if self.nostride else self.stride
+        stride3 = (s, s, s) if self.kind != "no_temporal" else (1, s, s)
+        y = _BlockConv(self.kind, self.cin, self.planes, stride3, name="conv1")(x)
+        y = batch_norm(y, self.param("bn1_scale", nn.initializers.ones, (self.planes,)),
+                       self.param("bn1_bias", nn.initializers.zeros, (self.planes,)))
+        y = jax.nn.relu(y)
+        y = _BlockConv(self.kind, self.planes, self.planes, (1, 1, 1), name="conv2")(y)
+        y = batch_norm(y, self.param("bn2_scale", nn.initializers.ones, (self.planes,)),
+                       self.param("bn2_bias", nn.initializers.zeros, (self.planes,)))
+
+        residual = x
+        if self.stride != 1 or self.cin != self.planes:
+            if self.nostride:
+                ds = (self.stride,) * 3
+                k = self.param("ds_kernel", _kaiming_out, (*ds, self.cin, self.planes))
+                residual = conv3d(x, k, stride=1, padding="SAME", dilation=ds)
+            else:
+                k = self.param("ds_kernel", _kaiming_out, (1, 1, 1, self.cin, self.planes))
+                stride_ds = (self.stride,) * 3 if self.kind != "no_temporal" \
+                    else (1, self.stride, self.stride)
+                residual = conv3d(x, k, stride=stride_ds, padding="SAME")
+            residual = batch_norm(
+                residual,
+                self.param("ds_bn_scale", nn.initializers.ones, (self.planes,)),
+                self.param("ds_bn_bias", nn.initializers.zeros, (self.planes,)))
+        return jax.nn.relu(y + residual)
+
+
+VARIANTS: dict[str, dict[str, Any]] = {
+    "r3d": dict(kinds=["simple"] * 4, widths=[64, 128, 256, 512], stem="basic",
+                stem_out=64, in_ch=3, nostride=False, fac=1, readout="fc"),
+    "mc3": dict(kinds=["simple"] + ["no_temporal"] * 3, widths=[64, 128, 256, 512],
+                stem="basic", stem_out=64, in_ch=3, nostride=False, fac=1,
+                readout="fc"),
+    "r2plus1": dict(kinds=["2plus1"] * 4, widths=[64, 128, 256, 512],
+                    stem="r2plus1", stem_out=64, in_ch=3, nostride=False, fac=1,
+                    readout="fc"),
+    "nostride_r3d": dict(kinds=["simple"] * 4, widths=[16, 32, 64, 128],
+                         stem="dilated", stem_out=64, in_ch=3, nostride=True,
+                         fac=4, readout="fc"),
+    "nostride_r3d_cc": dict(kinds=["simple"] * 4, widths=[32, 64, 64, 128],
+                            stem="dilated", stem_out=32, in_ch=5, nostride=True,
+                            fac=2, readout="fc"),
+    "nostride_r3d_pos": dict(kinds=["simple"] * 4, widths=[16, 32, 64, 128],
+                             stem="basic_nostride", stem_out=64, in_ch=5,
+                             nostride=True, fac=4, readout="fc",
+                             add_positions=True),
+    "nostride_video_cc_small": dict(kinds=["simple"] * 4, widths=[32, 32, 32, 32],
+                                    stem="basic_nostride", stem_out=32, in_ch=3,
+                                    nostride=True, fac=1, readout="target"),
+}
+
+
+class VideoResNet(nn.Module):
+    variant: str = "r3d"
+    num_classes: int = 1
+    layers: Sequence[int] = (2, 2, 2, 2)
+    timesteps: int | None = None
+
+    @nn.compact
+    def __call__(self, x, testmode: bool = False):
+        cfg = VARIANTS[self.variant]
+        xc = common.bcthw_to_bthwc(x)  # [B,T,H,W,C]
+        target = xc[:, 0, :, :, 2] if cfg["readout"] == "target" else None
+
+        if cfg.get("add_positions"):
+            b, t, h, w_, _ = xc.shape
+            hh, ww = jnp.meshgrid(jnp.arange(h, dtype=xc.dtype),
+                                  jnp.arange(w_, dtype=xc.dtype), indexing="ij")
+            grid = jnp.stack([ww, hh], -1) / max(h - 1, w_ - 1)
+            grid = jnp.broadcast_to(grid[None, None], (b, t, h, w_, 2))
+            xc = jnp.concatenate([xc, grid], axis=-1)
+
+        cin = xc.shape[-1]
+        so = cfg["stem_out"]
+        if cfg["stem"] == "basic":  # torchvision: strided spatial stem
+            y = _ConvBN(cin, so, (3, 7, 7), stride=(1, 2, 2), relu=True,
+                        name="stem")(xc)
+        elif cfg["stem"] == "dilated":  # nostride: stride 1, dilation (1,2,2)
+            y = _ConvBN(cin, so, (3, 7, 7), stride=(1, 1, 1), dilation=(1, 2, 2),
+                        relu=True, name="stem")(xc)
+        elif cfg["stem"] == "basic_nostride":  # stride 1, no dilation
+            y = _ConvBN(cin, so, (3, 7, 7), stride=(1, 1, 1), relu=True,
+                        name="stem")(xc)
+        else:  # r2plus1 stem
+            y = _ConvBN(cin, 45, (1, 7, 7), stride=(1, 2, 2), relu=True,
+                        name="stem_s")(xc)
+            y = _ConvBN(45, so, (3, 1, 1), stride=(1, 1, 1), relu=True,
+                        name="stem_t")(y)
+
+        inplanes = so
+        for li, (kind, width, nblocks) in enumerate(
+                zip(cfg["kinds"], cfg["widths"], self.layers)):
+            stride = 2
+            for bi in range(nblocks):
+                y = _BasicBlock(kind, inplanes, width,
+                                stride=stride if bi == 0 else 1,
+                                nostride=cfg["nostride"],
+                                name=f"layer{li + 1}_{bi}")(y)
+                inplanes = width
+
+        if cfg["readout"] == "target":
+            # Last-frame features + frame-0 blue target marker
+            # (reference nostridetv_cc_smallest.py:238-253).
+            last = y[:, -1]  # [B,H,W,32]
+            merged = jnp.concatenate([last, target[..., None]], axis=-1)
+            tk = self.param("target_conv_kernel", pt_init.torch_conv_default,
+                            (5, 5, inplanes + 1, 1))
+            tb = self.param("target_conv_bias", nn.initializers.zeros, (1,))
+            out = conv2d(merged, tk, tb)
+            flat = out.reshape(out.shape[0], -1)
+            fk = self.param("fc_kernel",
+                            nn.initializers.normal(stddev=0.01),
+                            (flat.shape[-1], self.num_classes))
+            fb = self.param("fc_bias", nn.initializers.zeros, (self.num_classes,))
+            return dense(flat, fk, fb)
+
+        pooled = jnp.mean(y, axis=(1, 2, 3))  # AdaptiveAvgPool3d((1,1,1))
+        fk = self.param("fc_kernel", nn.initializers.normal(stddev=0.01),
+                        (inplanes, self.num_classes))
+        fb = self.param("fc_bias", nn.initializers.zeros, (self.num_classes,))
+        return dense(pooled, fk, fb)
+
+
+def build(variant: str, timesteps: int | None = None, pretrained: bool = False,
+          **kwargs):
+    """Factory matching the reference engine's constructors
+    (reference utils/engine.py:187-214; fc is always replaced with a 1-unit
+    head there, so num_classes defaults to 1)."""
+    return VideoResNet(variant=variant, timesteps=timesteps, **kwargs)

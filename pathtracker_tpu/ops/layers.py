@@ -15,12 +15,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# All contractions pin full-f32 accumulation explicitly: XLA's DEFAULT matmul
-# precision downcasts f32 inputs (bf16 passes on the MXU, and measurably ~bf16
-# on this CPU backend too), which silently breaks parity with the reference.
-# The bf16 fast path is opt-in by *casting inputs* (dtype policy), never by
-# letting DEFAULT precision truncate f32 math.
+# Contractions on f32 inputs pin full-f32 accumulation explicitly: XLA's
+# DEFAULT matmul precision downcasts f32 inputs to bf16 passes on the MXU,
+# which silently breaks parity with the reference. The bf16 fast path is
+# opt-in by *casting inputs* (dtype policy) — bf16 inputs take the DEFAULT
+# single MXU pass (HIGHEST would promote them back to multi-pass f32).
 PRECISION = lax.Precision.HIGHEST
+
+
+def _precision_for(x):
+    return PRECISION if x.dtype == jnp.float32 else lax.Precision.DEFAULT
 
 
 def softplus(x):
@@ -33,14 +37,15 @@ def softplus(x):
 
 
 def dense(x, kernel, bias=None):
-    """[..., Cin] @ [Cin, Cout] with full-precision accumulation.
+    """[..., Cin] @ [Cin, Cout] with dtype-appropriate precision.
 
     The models' 1x1 convs all lower to this (MXU-shaped over the flattened
     batch*space axis)."""
-    y = lax.dot_general(x, kernel, (((x.ndim - 1,), (0,)), ((), ())),
-                        precision=PRECISION)
+    y = lax.dot_general(x, kernel.astype(x.dtype),
+                        (((x.ndim - 1,), (0,)), ((), ())),
+                        precision=_precision_for(x))
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(y.dtype)
     return y
 
 
@@ -54,17 +59,17 @@ def conv2d(x, kernel, bias=None, stride=1, padding="SAME", dilation=1,
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     y = lax.conv_general_dilated(
-        x, kernel,
+        x, kernel.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        precision=PRECISION,
+        precision=_precision_for(x),
         preferred_element_type=x.dtype,
     )
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(y.dtype)
     return y
 
 
@@ -79,16 +84,16 @@ def conv3d(x, kernel, bias=None, stride=1, padding="SAME", dilation=1):
     elif isinstance(padding, (tuple, list)) and all(isinstance(p, int) for p in padding):
         padding = [(p, p) for p in padding]
     y = lax.conv_general_dilated(
-        x, kernel,
+        x, kernel.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         rhs_dilation=dilation,
         dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
-        precision=PRECISION,
+        precision=_precision_for(x),
         preferred_element_type=x.dtype,
     )
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(y.dtype)
     return y
 
 
@@ -96,17 +101,21 @@ def batch_norm(x, scale, bias, eps: float = 1e-3, axis_name: str | None = None):
     """Batch-statistics norm over all axes but the last (channel) axis.
 
     Works for NHWC (stats over N,H,W) and NTHWC (stats over N,T,H,W), i.e.
-    torch BatchNorm2d/BatchNorm3d with track_running_stats=False.
+    torch BatchNorm2d/BatchNorm3d with track_running_stats=False. Statistics
+    accumulate in f32 even under a bf16 compute policy (cheap VPU work,
+    avoids catastrophic cancellation in mean2 - mean^2).
     """
     reduce_axes = tuple(range(x.ndim - 1))
-    mean = jnp.mean(x, axis=reduce_axes)
-    mean2 = jnp.mean(jnp.square(x), axis=reduce_axes)
+    xs = x.astype(jnp.float32)
+    mean = jnp.mean(xs, axis=reduce_axes)
+    mean2 = jnp.mean(jnp.square(xs), axis=reduce_axes)
     if axis_name is not None:
         mean = lax.pmean(mean, axis_name)
         mean2 = lax.pmean(mean2, axis_name)
     var = mean2 - jnp.square(mean)  # biased variance, as torch uses for normalization
     inv = lax.rsqrt(var + eps)
-    return (x - mean) * (inv * scale) + bias
+    return ((x - mean.astype(x.dtype)) * (inv.astype(x.dtype) * scale.astype(x.dtype))
+            + bias.astype(x.dtype))
 
 
 def layer_norm_2d(x, scale, bias, eps: float = 1e-5):
