@@ -45,6 +45,10 @@ def _load():
                     ctypes.c_void_p,
                     ctypes.c_long,
                 ]
+                lib.ptdata_clips_ptr.restype = ctypes.c_void_p
+                lib.ptdata_clips_ptr.argtypes = [ctypes.c_void_p]
+                lib.ptdata_labels_ptr.restype = ctypes.c_void_p
+                lib.ptdata_labels_ptr.argtypes = [ctypes.c_void_p]
                 lib.ptdata_free.argtypes = [ctypes.c_void_p]
                 _LIB = lib
                 break
@@ -58,7 +62,12 @@ def available() -> bool:
 
 
 def read_clip_records(path: str, timesteps: int, height: int = 32, width: int = 32):
-    """Yield (uint8 [T,H,W,3] clip, label byte) from one shard via the C++ reader."""
+    """Yield (uint8 [T,H,W,3] clip, label byte) from one shard via the C++ reader.
+
+    The shard is decoded once into the handle's contiguous buffer; per-clip
+    numpy *copies* are yielded (small allocations that reuse the malloc arena
+    — bulk-copying into one fresh 100MB numpy array costs seconds of
+    first-touch page faults on this VM, while 200KB copies are free)."""
     lib = _load()
     clip_bytes = timesteps * height * width * 3
     handle = lib.ptdata_read_file(path.encode(), clip_bytes)
@@ -66,17 +75,14 @@ def read_clip_records(path: str, timesteps: int, height: int = 32, width: int = 
         raise IOError(f"ptdata failed to read {path}")
     try:
         n = lib.ptdata_num_records(handle)
-        clips = np.empty((n, timesteps, height, width, 3), dtype=np.uint8)
-        labels = np.empty((n,), dtype=np.uint8)
-        rc = lib.ptdata_copy_clips(
-            handle,
-            clips.ctypes.data_as(ctypes.c_void_p),
-            labels.ctypes.data_as(ctypes.c_void_p),
-            n,
-        )
-        if rc != 0:
-            raise IOError(f"ptdata decode error {rc} in {path}")
+        cptr = lib.ptdata_clips_ptr(handle)
+        lptr = lib.ptdata_labels_ptr(handle)
+        view = np.ctypeslib.as_array(
+            ctypes.cast(cptr, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(n, timesteps, height, width, 3))
+        labels = np.ctypeslib.as_array(
+            ctypes.cast(lptr, ctypes.POINTER(ctypes.c_uint8)), shape=(n,))
+        for i in range(n):
+            yield view[i].copy(), int(labels[i])
     finally:
         lib.ptdata_free(handle)
-    for i in range(n):
-        yield clips[i], int(labels[i])

@@ -1,19 +1,28 @@
-"""Test configuration: force an 8-device CPU JAX backend (the JAX fake-backend
-idiom) so sharding/collective tests run without TPU hardware."""
+"""Test configuration: force a genuine 8-device CPU JAX backend.
+
+Env vars alone are NOT enough in this image: the axon (TPU) sitecustomize
+registers the TPU PJRT plugin at interpreter startup — before pytest imports
+anything — and JAX_PLATFORMS=axon is baked into the environment. Backends
+initialize lazily, so overriding jax's *config* before the first backend use
+reliably selects CPU; XLA_FLAGS must also be set before that first use for
+the virtual 8-device mesh (the JAX fake-backend idiom). Tests must stay off
+the TPU: it is a single-client device behind a tunnel, and a test process
+touching it serializes against (or deadlocks with) any concurrent TPU job.
+"""
 
 import os
 
-# Force a genuine CPU backend: JAX_PLATFORMS alone is not enough in this
-# image — an axon (TPU) sitecustomize registers the TPU plugin in every
-# process when PALLAS_AXON_POOL_IPS is set, and the single TPU client then
-# serializes concurrent test processes. Clearing it keeps tests off the chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax  # noqa: E402  (may already be loaded by sitecustomize)
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,76 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest forces
+JAX_PLATFORMS=cpu with xla_force_host_platform_device_count=8): batch
+sharding, replicated params, gradient all-reduce equivalence, and the driver
+dry-run path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracker_tpu.parallel import mesh as mesh_lib
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return mesh_lib.make_mesh(8)
+
+
+def test_batch_sharding_layout(mesh8):
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    xs = mesh_lib.shard_batch(mesh8, x)
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_sharded_train_step_matches_single_device(mesh8):
+    """One data-parallel train step over the mesh must equal the same step on
+    one device (sync-BN + global-batch gradient all-reduce semantics)."""
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
+
+    model = InT(dimensions=8, timesteps=4, kernel_size=3)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(16, 4, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(16,), dtype=np.uint8)
+    sample = jnp.zeros((16, 3, 4, 16, 16), jnp.float32)
+    params0 = model.init(jax.random.key(0), sample)["params"]
+    optimizer = make_optimizer(1e-3)
+
+    def run(shard):
+        params = jax.device_get(params0)
+        step = make_train_step(model, "InT", optimizer)
+        opt_state = optimizer.init(params)
+        im, lb = imgs, labels
+        if shard:
+            params = mesh_lib.replicate_tree(mesh8, params)
+            opt_state = mesh_lib.replicate_tree(mesh8, opt_state)
+            im = jax.device_put(im, mesh_lib.batch_sharding(mesh8))
+            lb = jax.device_put(lb, mesh_lib.batch_sharding(mesh8))
+        params, opt_state, stats = step(params, opt_state, im, lb)
+        return jax.device_get(params), float(stats["loss"])
+
+    p_single, loss_single = run(False)
+    p_shard, loss_shard = run(True)
+    np.testing.assert_allclose(loss_single, loss_shard, rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(p_single),
+            jax.tree_util.tree_leaves_with_path(p_shard)):
+        np.testing.assert_allclose(va, vb, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+
+    fn, (params, x) = __graft_entry__.entry()
+    out = jax.jit(fn)(params, x)
+    assert out.shape == (x.shape[0], 1)
