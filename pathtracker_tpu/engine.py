@@ -30,12 +30,17 @@ SLOWFAST_ALPHA = 4  # slow pathway takes every 4th frame (reference utils/engine
 
 def model_selector(args, timesteps: int, device=None):
     """Build a model from parsed args (reference utils/engine.py:75-217)."""
+    kwargs = {}
+    if getattr(args, "bf16", False) and args.model.startswith("InT"):
+        # bfloat16 fast path (f32 masters, bf16 activations/MXU inputs).
+        kwargs["dtype"] = "bfloat16"
     return _build(
         args.model,
         timesteps=timesteps,
         fb_kernel_size=getattr(args, "fb_kernel_size", 7),
         dimensions=getattr(args, "dimensions", 32),
         pretrained=getattr(args, "pretrained", False),
+        **kwargs,
     )
 
 

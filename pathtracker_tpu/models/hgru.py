@@ -73,8 +73,11 @@ class _HGRUBase(nn.Module):
         p["bn1_bias"] = self.param("bn1_bias", nn.initializers.zeros, (c,))
         return p
 
-    def _run_scan(self, xbn, p, collect: bool):
-        """xbn: [B,T,H,W,C] preprocessed input. Returns (inh, exc, ys)."""
+    def _run_scan(self, xbn, p, collect: bool, clock_masks=None):
+        """xbn: [B,T,H,W,C] preprocessed input. Returns (inh, exc, ys).
+
+        clock_masks: optional [T, C] in [0,1] — per-step per-channel update
+        fraction (clockwork-RNN style); channels with mask 0 hold their state."""
         b, t, h, w_, c = xbn.shape
         if self.use_attention:
             att_in = dense(xbn, p["a_w"], p["a_w_b"])
@@ -83,11 +86,12 @@ class _HGRUBase(nn.Module):
         def to_tb(z):
             return jnp.transpose(z, (1, 0, 2, 3, 4))
 
-        xs = (to_tb(xbn), to_tb(att_in) if self.use_attention else None, to_tb(gi_in))
+        xs = (to_tb(xbn), to_tb(att_in) if self.use_attention else None,
+              to_tb(gi_in), clock_masks)
 
         def step(carry, xt):
             inh, exc = carry
-            inp, att_x, gi_x = xt
+            inp, att_x, gi_x, mask = xt
             if self.use_attention:
                 att = jax.nn.sigmoid(att_x + dense(exc, p["a_u"], p["a_u_b"]))
                 gated_exc = att * exc
@@ -107,6 +111,9 @@ class _HGRUBase(nn.Module):
                                   p["bn1_scale"], p["bn1_bias"])
             exc_hat = softplus(exc_intx * (p["kappa"] * new_inh + p["gamma"]))
             new_exc = (1.0 - g_e) * exc + g_e * exc_hat
+            if mask is not None:
+                new_inh = mask * new_inh + (1.0 - mask) * inh
+                new_exc = mask * new_exc + (1.0 - mask) * exc
             ys = (new_exc, att) if collect else None
             return (new_inh, new_exc), ys
 
@@ -139,6 +146,74 @@ class FFhGRU(_HGRUBase):
             states = jnp.transpose(states, (1, 0, 4, 2, 3))
             gates = jnp.transpose(atts, (1, 0, 4, 2, 3))
             return logit, states, gates
+        return logit, jnp.ones((1,), xbn.dtype)
+
+
+class ClockHGRU(_HGRUBase):
+    """Clockwork hGRU (reference models/InT.py:274-371 and
+    ffhgru_hierarchy.py:391+ — both referenced a `ClockHConvGRUCell` that does
+    not exist anywhere in the snapshot, so this implements the *intended*
+    clockwork design, Koutnik et al. arXiv:1402.3511 applied to the hConvGRU):
+
+      * 'fixed': channels are partitioned into log2(C) groups with update
+        periods 1, 2, 4, ... — group g only updates on steps where
+        t % 2^g == 0 (hard binary clock masks, precomputed per step);
+      * 'dynamic': a learned per-channel update rate sigmoid(clock_rate)
+        blends each step's update (a differentiable soft clock; init bias +2
+        so training starts near always-update).
+
+    Readout matches the reference wrapper: per-step 1x1 readout conv on the
+    excitation, frames concatenated along width (torch cat(states, -1)),
+    flattened into Linear(T*H*W, 1). Preproc is 1x1 Conv3d + batch-stat BN
+    (the snapshot flipped this one BN to track_running_stats=True; this
+    framework is stateless by design, documented deviation)."""
+
+    clock_type: str = "dynamic"
+
+    @nn.compact
+    def __call__(self, x, testmode: bool = False):
+        assert self.clock_type in ("fixed", "dynamic")
+        c = self.dimensions
+        pre_kernel = self.param("preproc_kernel", pt_init.torch_conv_default, (3, c))
+        pre_bias = self.param("preproc_bias", pt_init.torch_conv_bias(3), (c,))
+        bn_scale = self.param("preproc_bn_scale", nn.initializers.ones, (c,))
+        bn_bias = self.param("preproc_bn_bias", nn.initializers.zeros, (c,))
+        p = self._cell_params()
+        ro_kernel = self.param("readout_conv_kernel", pt_init.torch_conv_default, (c, 1))
+        ro_bias = self.param("readout_conv_bias", pt_init.torch_conv_bias(c), (1,))
+
+        xc = common.bcthw_to_bthwc(x)
+        b, t, h, w_, _ = xc.shape
+        xbn = batch_norm(dense(xc, pre_kernel, pre_bias), bn_scale, bn_bias)
+
+        if self.clock_type == "fixed":
+            # Partition channels evenly over log2-spaced periods 1,2,4,...
+            n_groups = max(1, min(t.bit_length() - 1 if t > 1 else 1, 8))
+            group = (jnp.arange(c) * n_groups) // c  # [C] group index
+            periods = 2 ** group  # [C]
+            steps = jnp.arange(t)[:, None]  # [T,1]
+            clock_masks = (steps % periods[None, :] == 0).astype(xbn.dtype)  # [T,C]
+        else:
+            rate = self.param("clock_rate", pt_init.constant(2.0), (c,))
+            clock_masks = jnp.broadcast_to(jax.nn.sigmoid(rate)[None, :],
+                                           (t, c)).astype(xbn.dtype)
+
+        inh, exc, ys = self._run_scan(xbn, p, collect=True,
+                                      clock_masks=clock_masks)
+        excs, atts = ys  # [T,B,H,W,C]
+        states = dense(excs, ro_kernel, ro_bias)  # [T,B,H,W,1]
+        # torch cat(states, -1).reshape(B, -1): frame maps concatenated along
+        # width -> flatten order (h, t, w).
+        flat = jnp.transpose(states[..., 0], (1, 2, 0, 3)).reshape(b, -1)
+        d_kernel = self.param("readout_dense_kernel", pt_init.torch_conv_default,
+                              (t * h * w_, 1))
+        d_bias = self.param("readout_dense_bias", pt_init.torch_conv_bias(t * h * w_),
+                            (1,))
+        logit = dense(flat, d_kernel, d_bias)
+        if testmode:
+            st = jnp.transpose(states, (1, 0, 4, 2, 3))  # [B,T,1,H,W]
+            gates = jnp.transpose(atts, (1, 0, 4, 2, 3))
+            return logit, st, gates
         return logit, jnp.ones((1,), xbn.dtype)
 
 

@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
+
 from pathtracker_tpu.models import common
 from pathtracker_tpu.ops import initializers as pt_init
 from pathtracker_tpu.ops.layers import batch_norm, conv2d, dense, softplus
@@ -73,6 +75,11 @@ class InT(nn.Module):
     lesion_kappa: bool = False
     nl: str = "softplus"
     remat: bool = True
+    # 'conv' saves the two k x k conv outputs per step and rematerializes only
+    # the cheap elementwise/gate chain in backward (the convs are the FLOPs:
+    # full remat replays them, +50% conv cost); 'full' stores nothing but the
+    # carry (reference-style minimal memory). Numerics are identical.
+    remat_policy: str = "conv"
     # Compute dtype policy: 'float32' for reference parity, 'bfloat16' for the
     # TPU fast path (params stay f32 masters; activations and MXU inputs are
     # bf16; BN statistics and the loss stay f32 — see ops.layers).
@@ -156,6 +163,12 @@ class InT(nn.Module):
         xs = (to_tb(xbn), to_tb(att_in) if self.use_attention else None,
               to_tb(gi_in))
 
+        # i_u and e_w both read the pre-update inhibition: fuse them into one
+        # [C, 2C] matmul per step (single pass over inh instead of two).
+        if not self.no_inh:
+            iu_ew = jnp.concatenate([i_u, e_w], axis=1)
+            iu_ew_b = jnp.concatenate([i_u_b, e_w_b])
+
         def step(carry, xt):
             inh, exc = carry
             inp, att_x, gi_x = xt
@@ -166,16 +179,19 @@ class InT(nn.Module):
                 att = jnp.ones_like(exc)
                 gated_exc = exc
             if not self.no_inh:
-                inh_intx = batch_norm(conv2d(gated_exc, w_inh), bn0_scale, bn0_bias)
+                inh_intx = batch_norm(_ckpt_name(conv2d(gated_exc, w_inh), "cell_conv"),
+                                      bn0_scale, bn0_bias)
                 inh_hat = act(inp - act(inh_intx * (alpha * inh + mu)))
-                g_i = jax.nn.sigmoid(gi_x + dense(inh, i_u, i_u_b))
+                inh_proj = dense(inh, iu_ew, iu_ew_b)  # [..., 2C]: i_u | e_w
+                g_i = jax.nn.sigmoid(gi_x + inh_proj[..., :c])
                 new_inh = (1.0 - g_i) * inh + g_i * inh_hat
-                gate_inh_ref = inh  # e-gate reads the pre-update inhibition
+                ew_out = inh_proj[..., c:]  # e-gate reads pre-update inhibition
             else:
                 new_inh = gated_exc
-                gate_inh_ref = exc  # reference models/InT.py:168
-            g_e = jax.nn.sigmoid(dense(gate_inh_ref, e_w, e_w_b) + dense(gated_exc, e_u, e_u_b))
-            exc_intx = batch_norm(conv2d(new_inh, w_exc), bn1_scale, bn1_bias)
+                ew_out = dense(exc, e_w, e_w_b)  # reference models/InT.py:168
+            g_e = jax.nn.sigmoid(ew_out + dense(gated_exc, e_u, e_u_b))
+            exc_intx = batch_norm(_ckpt_name(conv2d(new_inh, w_exc), "cell_conv"),
+                                  bn1_scale, bn1_bias)
             exc_hat = act(exc_intx * (kappa * new_inh + gamma))
             new_exc = (1.0 - g_e) * exc + g_e * exc_hat
             if testmode:
@@ -185,7 +201,12 @@ class InT(nn.Module):
             return (new_inh, new_exc), ys
 
         if self.remat:
-            step = jax.checkpoint(step)
+            if self.remat_policy == "conv":
+                step = jax.checkpoint(
+                    step,
+                    policy=jax.checkpoint_policies.save_only_these_names("cell_conv"))
+            else:
+                step = jax.checkpoint(step)
 
         zeros = jnp.zeros((b, h, w_, c), xbn.dtype)
         (inh, exc), ys = jax.lax.scan(step, (zeros, zeros), xs)

@@ -72,6 +72,12 @@ def model_selector(model_name: str, timesteps: int, fb_kernel_size: int = 7,
         from pathtracker_tpu.models import hgru
         return hgru.FFhGRUv2(dimensions=dimensions, timesteps=timesteps,
                              kernel_size=fb_kernel_size, **kwargs)
+    if model_name in ("clock_hgru", "clock_hgru_fixed"):
+        from pathtracker_tpu.models import hgru
+        clock = "fixed" if model_name.endswith("_fixed") else "dynamic"
+        return hgru.ClockHGRU(dimensions=dimensions, timesteps=timesteps,
+                              kernel_size=fb_kernel_size, clock_type=clock,
+                              **kwargs)
     if model_name == "gru":
         from pathtracker_tpu.models import convgru
         # The reference doubles the width for the ConvGRU baseline

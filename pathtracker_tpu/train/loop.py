@@ -169,6 +169,7 @@ def main(args=None, max_steps_per_epoch: int | None = None):
 
     vopt = opt_state
     stop = False
+    trace_active = False
     for epoch in range(args.start_epoch, args.epochs):
         meters = {k: AverageMeter() for k in
                   ("batch_time", "data_time", "loss", "balacc", "precision",
@@ -181,8 +182,18 @@ def main(args=None, max_steps_per_epoch: int | None = None):
             if mesh is not None:
                 imgs = jax.device_put(imgs, mesh_lib.batch_sharding(mesh))
                 target = jax.device_put(target, mesh_lib.batch_sharding(mesh))
+            # Profiler hook (reference had only wall-clock meters; SURVEY §5):
+            # trace steps 1-4 of the first epoch — step 0 is the compile.
+            if (getattr(args, "profile", None)
+                    and epoch == args.start_epoch and idx == 1):
+                jax.profiler.start_trace(args.profile)
+                trace_active = True
             params, vopt, stats = train_step(params, vopt, imgs, target)
             loss = float(stats["loss"])
+            if trace_active and idx >= 4:
+                jax.profiler.stop_trace()
+                trace_active = False
+                print(f"profiler trace written to {args.profile}")
             meters["loss"].update(loss, 1)
             train_log_dict["jvpen"].append(float(stats["jvpen"]))
             train_log_dict["scaled_loss"].append(float(stats["scaled_loss"]))
@@ -217,6 +228,11 @@ def main(args=None, max_steps_per_epoch: int | None = None):
                     f.write(line + "\n")
             if max_steps_per_epoch is not None and idx + 1 >= max_steps_per_epoch:
                 break
+
+        if trace_active:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            trace_active = False
+            print(f"profiler trace written to {args.profile}")
 
         train_log_dict["loss"].extend(meters["loss"].history)
         train_log_dict["balacc"].extend(meters["balacc"].history)

@@ -50,6 +50,30 @@ def bce_with_logits(logits, target):
     return jnp.mean(jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z))))
 
 
+def metric_scores(target, preds):
+    """Metrics from already-thresholded byte predictions (reference
+    utils/misc_functions.py:12-29): bal-acc/precision/recall/f1 with the same
+    denominators as acc_scores but preds given, not derived from logits."""
+    target = jnp.reshape(target, (-1,)).astype(jnp.float32)
+    pred = jnp.reshape(preds, (-1,)).astype(jnp.float32)
+    correct = (pred == target).astype(jnp.float32)
+    tp = jnp.sum(correct * (target == 1))
+    batch = target.shape[0]
+    tpfp = jnp.maximum(jnp.sum(pred), 1e-6)
+    return (jnp.mean(correct) * 100.0, tp / tpfp, tp / batch,
+            (2.0 * tp) / (batch + tpfp))
+
+
+def accuracy_topk(output, target, topk=(1,)):
+    """Top-k accuracy over class logits [B, K] (reference
+    utils/misc_functions.py:138-151). Returns one value per k, in percent."""
+    target = jnp.reshape(target, (-1,))
+    maxk = max(topk)
+    idx = jnp.argsort(output, axis=-1)[:, ::-1][:, :maxk]  # [B, maxk]
+    correct = (idx == target[:, None]).astype(jnp.float32)
+    return [jnp.sum(correct[:, :k]) * (100.0 / target.shape[0]) for k in topk]
+
+
 def focal_loss(logits, target, gamma: float = 0.0, alpha: float | None = None):
     """Binary focal loss on logits (reference utils/misc_functions.py:83-114
     defined this for softmax inputs but never used it; provided in the binary

@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synth-train", type=int, default=None,
                         help="synthetic dataset size if TFRecords are missing")
     parser.add_argument("--synth-test", type=int, default=None)
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="write a jax.profiler trace of post-compile train"
+                             " steps to DIR (view with tensorboard/xprof)")
     return parser
 
 

@@ -16,7 +16,8 @@ SMALL = dict(dimensions=8, fb_kernel_size=3)
 
 ALL_NAMES = [
     "InT", "InT_no_inh", "InT_no_mult", "InT_no_add", "InT_mult_add",
-    "InT_only_add", "InT_tanh", "fc", "hgru", "hgru_v2", "gru",
+    "InT_only_add", "InT_tanh", "fc", "hgru", "hgru_v2", "clock_hgru",
+    "clock_hgru_fixed", "gru",
     "ffnet", "timesformer", "performer", "lambda",
     "r3d", "mc3", "r2plus1", "nostride_r3d", "nostride_r3d_cc",
     "nostride_r3d_pos", "nostride_video_cc_small", "rntsm",
