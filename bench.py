@@ -22,15 +22,19 @@ import time
 import numpy as np
 
 
-def measure(batch: int = 128, timesteps: int = 64, iters: int = 20,
-            warmup: int = 3, bf16: bool = False) -> dict:
+def measure(batch: int = 256, timesteps: int = 64, iters: int = 20,
+            warmup: int = 3, bf16: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
     from pathtracker_tpu.models.int_circuit import InT
     from pathtracker_tpu.train.steps import make_optimizer, make_train_step
 
-    model = InT(dimensions=32, timesteps=timesteps, kernel_size=7)
+    # The bf16 fast path (f32 masters, bf16 activations/MXU inputs, f32 BN
+    # stats + loss) is the production training configuration; BENCH_F32=1
+    # measures the f32 reference-parity path instead.
+    model = InT(dimensions=32, timesteps=timesteps, kernel_size=7,
+                dtype="bfloat16" if bf16 else "float32")
     sample = jnp.zeros((batch, 3, timesteps, 32, 32), jnp.float32)
     params = model.init(jax.random.key(0), sample)["params"]
     optimizer = make_optimizer(3e-4)
@@ -66,9 +70,10 @@ def measure(batch: int = 128, timesteps: int = 64, iters: int = 20,
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
     iters = int(os.environ.get("BENCH_ITERS", 20))
-    res = measure(batch=batch, iters=iters)
+    res = measure(batch=batch, iters=iters,
+                  bf16=not int(os.environ.get("BENCH_F32", 0)))
 
     baseline = None
     try:

@@ -163,12 +163,6 @@ class InT(nn.Module):
         xs = (to_tb(xbn), to_tb(att_in) if self.use_attention else None,
               to_tb(gi_in))
 
-        # i_u and e_w both read the pre-update inhibition: fuse them into one
-        # [C, 2C] matmul per step (single pass over inh instead of two).
-        if not self.no_inh:
-            iu_ew = jnp.concatenate([i_u, e_w], axis=1)
-            iu_ew_b = jnp.concatenate([i_u_b, e_w_b])
-
         def step(carry, xt):
             inh, exc = carry
             inp, att_x, gi_x = xt
@@ -182,14 +176,13 @@ class InT(nn.Module):
                 inh_intx = batch_norm(_ckpt_name(conv2d(gated_exc, w_inh), "cell_conv"),
                                       bn0_scale, bn0_bias)
                 inh_hat = act(inp - act(inh_intx * (alpha * inh + mu)))
-                inh_proj = dense(inh, iu_ew, iu_ew_b)  # [..., 2C]: i_u | e_w
-                g_i = jax.nn.sigmoid(gi_x + inh_proj[..., :c])
+                g_i = jax.nn.sigmoid(gi_x + dense(inh, i_u, i_u_b))
                 new_inh = (1.0 - g_i) * inh + g_i * inh_hat
-                ew_out = inh_proj[..., c:]  # e-gate reads pre-update inhibition
+                gate_inh_ref = inh  # e-gate reads the pre-update inhibition
             else:
                 new_inh = gated_exc
-                ew_out = dense(exc, e_w, e_w_b)  # reference models/InT.py:168
-            g_e = jax.nn.sigmoid(ew_out + dense(gated_exc, e_u, e_u_b))
+                gate_inh_ref = exc  # reference models/InT.py:168
+            g_e = jax.nn.sigmoid(dense(gate_inh_ref, e_w, e_w_b) + dense(gated_exc, e_u, e_u_b))
             exc_intx = batch_norm(_ckpt_name(conv2d(new_inh, w_exc), "cell_conv"),
                                   bn1_scale, bn1_bias)
             exc_hat = act(exc_intx * (kappa * new_inh + gamma))
