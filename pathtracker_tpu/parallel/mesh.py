@@ -47,3 +47,48 @@ def shard_batch(mesh: Mesh, batch):
 def replicate_tree(mesh: Mesh, tree):
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# ---------------------------------------------------------------------------
+# Model (tensor) parallelism — additive capability beyond the reference.
+# ---------------------------------------------------------------------------
+
+
+def make_mesh_2d(n_data: int, n_model: int,
+                 axis_names: tuple[str, str] = ("data", "model")) -> Mesh:
+    """2-D Mesh: batch sharded over 'data', channels/params over 'model'.
+
+    On real hardware lay 'model' on the inner (fastest ICI) axis; here the
+    device list is reshaped in order, which matches a v5e ring slice."""
+    devices = jax.devices()[: n_data * n_model]
+    assert len(devices) == n_data * n_model, (
+        f"need {n_data * n_model} devices, have {len(jax.devices())}")
+    return Mesh(np.asarray(devices).reshape(n_data, n_model), axis_names)
+
+
+def channel_shardings(mesh: Mesh, params, model_axis: str = "model"):
+    """Tensor-parallel PartitionSpecs for channel-major param pytrees.
+
+    Rule: shard the output-channel (last) dim over the model axis whenever it
+    divides evenly — conv kernels [k,k,Cin,Cout] and matmul kernels
+    [Cin,Cout] split output channels; per-channel vectors [C] split
+    elementwise params and BN scales. Everything else (readout heads, odd
+    sizes) replicates. XLA/GSPMD then propagates: activations shard on their
+    channel dim, k x k convs all-gather their input channels over ICI, and
+    gradient reduction composes with the data axis automatically."""
+    model_size = mesh.shape[model_axis]
+
+    def spec_for(v):
+        shape = np.shape(v)
+        if not shape or shape[-1] % model_size != 0 or shape[-1] < model_size:
+            return NamedSharding(mesh, P())
+        spec = [None] * (len(shape) - 1) + [model_axis]
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(spec_for, params)
+
+
+def shard_params_2d(mesh: Mesh, params, model_axis: str = "model"):
+    """device_put params with channel_shardings (replicated over 'data')."""
+    shardings = channel_shardings(mesh, params, model_axis)
+    return jax.tree.map(jax.device_put, params, shardings)

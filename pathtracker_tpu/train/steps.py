@@ -15,6 +15,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from pathtracker_tpu.data.prepare import prepare_batch
@@ -42,24 +43,29 @@ def make_train_step(model, model_name: str, optimizer, penalty: bool = False,
         total = loss + jv * 1e1 if penalty else loss
         return total, (loss, jv, output)
 
+    _KEYS = ("loss", "scaled_loss", "jvpen", "balacc", "precision", "recall",
+             "f1score")
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, raw_imgs, raw_labels):
+    def _step(params, opt_state, raw_imgs, raw_labels):
         (total, (loss, jv, output)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, raw_imgs, raw_labels)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         target = raw_labels.astype(jnp.float32)
         balacc, precision, recall, f1s = acc_scores(target, output)
-        stats = {
-            "loss": loss,
-            "scaled_loss": total,
-            "jvpen": jv,
-            "balacc": balacc,
-            "precision": precision,
-            "recall": recall,
-            "f1score": f1s,
-        }
-        return params, opt_state, stats
+        # Scalars packed into ONE array: the training loop host-fetches the
+        # stats every step, and on a tunneled backend each separate fetch is
+        # a full round trip (measured ~27ms each — 7 unpacked scalars cost
+        # more than the 64-frame fwd+bwd itself).
+        packed = jnp.stack([loss.astype(jnp.float32), total, jv, balacc,
+                            precision, recall, f1s])
+        return params, opt_state, packed
+
+    def train_step(params, opt_state, raw_imgs, raw_labels):
+        params, opt_state, packed = _step(params, opt_state, raw_imgs, raw_labels)
+        host = np.asarray(packed)  # single host fetch / sync point
+        return params, opt_state, dict(zip(_KEYS, host))
 
     return train_step
 
@@ -67,20 +73,22 @@ def make_train_step(model, model_name: str, optimizer, penalty: bool = False,
 def make_eval_step(model, model_name: str, prepare_kwargs: dict | None = None):
     prep = dict(prepare_kwargs or {})
 
+    _KEYS = ("loss", "balacc", "precision", "recall", "f1score", "acc")
+
     @jax.jit
-    def eval_step(params, raw_imgs, raw_labels):
+    def _step(params, raw_imgs, raw_labels):
         imgs, target = prepare_batch(raw_imgs, raw_labels, **prep)
         output, _ = model_step(model, {"params": params}, imgs, model_name)
         loss = bce_with_logits(output, target)
         balacc, precision, recall, f1s = acc_scores(target, output)
-        return {
-            "loss": loss,
-            "balacc": balacc,
-            "precision": precision,
-            "recall": recall,
-            "f1score": f1s,
-            "acc": eval_accuracy(target, output),
-            "output": output,
-        }
+        packed = jnp.stack([loss.astype(jnp.float32), balacc, precision,
+                            recall, f1s, eval_accuracy(target, output)])
+        return packed, output
+
+    def eval_step(params, raw_imgs, raw_labels):
+        packed, output = _step(params, raw_imgs, raw_labels)
+        stats = dict(zip(_KEYS, np.asarray(packed)))  # one scalar fetch
+        stats["output"] = output  # stays on device unless the caller fetches
+        return stats
 
     return eval_step

@@ -62,6 +62,46 @@ def test_sharded_train_step_matches_single_device(mesh8):
                                    err_msg=jax.tree_util.keystr(ka))
 
 
+def test_2d_mesh_tensor_parallel_matches_single_device(mesh8):
+    """dp x tp (4 x 2 mesh, channel-sharded params) must match the
+    single-device step numerically."""
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
+
+    model = InT(dimensions=8, timesteps=3, kernel_size=3)
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, size=(8, 3, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(8,), dtype=np.uint8)
+    sample = jnp.zeros((8, 3, 3, 16, 16), jnp.float32)
+    params0 = model.init(jax.random.key(2), sample)["params"]
+    optimizer = make_optimizer(1e-3)
+
+    step = make_train_step(model, "InT", optimizer)
+    p_single, _, s_single = step(jax.device_get(params0),
+                                 optimizer.init(jax.device_get(params0)),
+                                 imgs, labels)
+
+    mesh2 = mesh_lib.make_mesh_2d(4, 2)
+    params2 = mesh_lib.shard_params_2d(mesh2, jax.device_get(params0))
+    # Check at least one leaf actually got channel-sharded over 'model'.
+    shardings = jax.tree.leaves(
+        jax.tree.map(lambda v: v.sharding.spec, params2))
+    assert any("model" in str(s) for s in shardings)
+    opt2 = jax.jit(optimizer.init)(params2)
+    im2 = jax.device_put(imgs, mesh_lib.batch_sharding(mesh2))
+    lb2 = jax.device_put(labels, mesh_lib.batch_sharding(mesh2))
+    step2 = make_train_step(model, "InT", optimizer)
+    p_tp, _, s_tp = step2(params2, opt2, im2, lb2)
+
+    np.testing.assert_allclose(float(s_single["loss"]), float(s_tp["loss"]),
+                               rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p_single)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p_tp))):
+        np.testing.assert_allclose(va, vb, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
