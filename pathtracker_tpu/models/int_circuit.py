@@ -80,9 +80,14 @@ class InT(nn.Module):
     # full remat replays them, +50% conv cost); 'full' stores nothing but the
     # carry (reference-style minimal memory). Numerics are identical.
     remat_policy: str = "conv"
-    # Compute dtype policy: 'float32' for reference parity, 'bfloat16' for the
-    # TPU fast path (params stay f32 masters; activations and MXU inputs are
-    # bf16; BN statistics and the loss stay f32 — see ops.layers).
+    # Compute dtype policy: 'float32' runs everything f32 with
+    # Precision.HIGHEST (reference parity); 'bfloat16' is the MIXED fast
+    # path — MXU inputs cast to bf16 with f32 accumulation, while
+    # activations, the recurrent carry, BN statistics, and the loss all stay
+    # f32. A pure-bf16 carry stalls training: the per-step state lerp
+    # (1-g)*exc + g*exc_hat accumulates updates smaller than bf16's 8-bit
+    # mantissa and the model never escapes the chance-level plateau
+    # (measured; see BASELINE.md).
     dtype: str = "float32"
 
     @nn.compact
@@ -90,7 +95,17 @@ class InT(nn.Module):
         c = self.dimensions
         k = self.kernel_size
         act = _nl(self.nl)
-        compute_dtype = jnp.dtype(self.dtype)
+        mxu = None if jnp.dtype(self.dtype) == jnp.float32 else jnp.dtype(self.dtype)
+
+        def fdense(z, kern, bias=None):
+            return dense(z, kern, bias, mxu_dtype=mxu)
+
+        def fconv_saved(z, kern):
+            # Remat-saved conv output: stash at MXU precision (half the HBM
+            # of an f32 save across the 64-step scan), upcast on use.
+            y = _ckpt_name(conv2d(z, kern, mxu_dtype=mxu, keep_mxu_dtype=True),
+                           "cell_conv")
+            return y.astype(jnp.float32) if mxu is not None else y
 
         # ---- parameters (names mirror the reference's state_dict keys) ----
         pre_kernel = self.param("preproc_kernel", pt_init.torch_conv_default, (3, c))
@@ -137,28 +152,21 @@ class InT(nn.Module):
 
         ro = common.make_readout_params(self, c)
 
-        if compute_dtype != jnp.float32:
-            # Per-channel scalars enter elementwise math directly; cast them so
-            # bf16*f32 promotion doesn't silently upcast the whole cell.
-            def _c(v):
-                return v.astype(compute_dtype) if hasattr(v, "astype") else v
-
-            gamma, kappa = _c(gamma), _c(kappa)
-            if not self.no_inh:
-                alpha, mu = _c(alpha), _c(mu)
-
         # ---- preproc + hoisted input projections (big batched matmuls) ----
         xc = common.bcthw_to_bthwc(x)  # [B,T,H,W,3]
-        xc = xc.astype(compute_dtype)
         b, t, h, w_, _ = xc.shape
-        xbn = act(dense(xc, pre_kernel, pre_bias))  # [B,T,H,W,C]
+        xbn = act(fdense(xc, pre_kernel, pre_bias))  # [B,T,H,W,C]
         if self.use_attention:
-            att_in = dense(xbn, a_w, a_w_b)  # a_w(x_t) for all t at once
-        gi_in = dense(xbn, i_w, i_w_b)  # i_w(x_t) for all t at once
+            att_in = fdense(xbn, a_w, a_w_b)  # a_w(x_t) for all t at once
+        gi_in = fdense(xbn, i_w, i_w_b)  # i_w(x_t) for all t at once
 
-        # Scan over time: xs are [T, B, H, W, C].
+        # Scan over time: xs are [T, B, H, W, C]. Under the mixed policy the
+        # hoisted projections are STORED bf16 (they sit in HBM for all T
+        # frames — f32 storage OOMs at batch 256) and rejoin f32 math inside
+        # the step via type promotion.
         def to_tb(z):
-            return jnp.transpose(z, (1, 0, 2, 3, 4))
+            z = jnp.transpose(z, (1, 0, 2, 3, 4))
+            return z.astype(mxu) if mxu is not None else z
 
         xs = (to_tb(xbn), to_tb(att_in) if self.use_attention else None,
               to_tb(gi_in))
@@ -167,23 +175,23 @@ class InT(nn.Module):
             inh, exc = carry
             inp, att_x, gi_x = xt
             if self.use_attention:
-                att = jax.nn.sigmoid(att_x + dense(exc, a_u, a_u_b))
+                att = jax.nn.sigmoid(att_x + fdense(exc, a_u, a_u_b))
                 gated_exc = att * exc
             else:
                 att = jnp.ones_like(exc)
                 gated_exc = exc
             if not self.no_inh:
-                inh_intx = batch_norm(_ckpt_name(conv2d(gated_exc, w_inh), "cell_conv"),
+                inh_intx = batch_norm(fconv_saved(gated_exc, w_inh),
                                       bn0_scale, bn0_bias)
                 inh_hat = act(inp - act(inh_intx * (alpha * inh + mu)))
-                g_i = jax.nn.sigmoid(gi_x + dense(inh, i_u, i_u_b))
+                g_i = jax.nn.sigmoid(gi_x + fdense(inh, i_u, i_u_b))
                 new_inh = (1.0 - g_i) * inh + g_i * inh_hat
                 gate_inh_ref = inh  # e-gate reads the pre-update inhibition
             else:
                 new_inh = gated_exc
                 gate_inh_ref = exc  # reference models/InT.py:168
-            g_e = jax.nn.sigmoid(dense(gate_inh_ref, e_w, e_w_b) + dense(gated_exc, e_u, e_u_b))
-            exc_intx = batch_norm(_ckpt_name(conv2d(new_inh, w_exc), "cell_conv"),
+            g_e = jax.nn.sigmoid(fdense(gate_inh_ref, e_w, e_w_b) + fdense(gated_exc, e_u, e_u_b))
+            exc_intx = batch_norm(fconv_saved(new_inh, w_exc),
                                   bn1_scale, bn1_bias)
             exc_hat = act(exc_intx * (kappa * new_inh + gamma))
             new_exc = (1.0 - g_e) * exc + g_e * exc_hat

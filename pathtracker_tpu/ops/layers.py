@@ -36,38 +36,58 @@ def softplus(x):
     return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
 
 
-def dense(x, kernel, bias=None):
+def dense(x, kernel, bias=None, mxu_dtype=None):
     """[..., Cin] @ [Cin, Cout] with dtype-appropriate precision.
 
     The models' 1x1 convs all lower to this (MXU-shaped over the flattened
-    batch*space axis)."""
-    y = lax.dot_general(x, kernel.astype(x.dtype),
-                        (((x.ndim - 1,), (0,)), ((), ())),
-                        precision=_precision_for(x))
+    batch*space axis). mxu_dtype='bfloat16' takes the mixed-precision path:
+    inputs cast to bf16 for the single MXU pass, f32 accumulation and f32
+    result — activations/state stay f32 so small recurrent updates survive
+    (pure-bf16 carries stall training on the plateau; see BASELINE.md)."""
+    if mxu_dtype is not None and x.dtype == jnp.float32:
+        # Cast in, compute at mxu dtype, cast out: the MXU accumulates bf16
+        # products in f32 internally, and keeping the casts as explicit ops
+        # (rather than mixed-dtype operands) makes the transpose rules well
+        # defined in backward.
+        y = lax.dot_general(x.astype(mxu_dtype), kernel.astype(mxu_dtype),
+                            (((x.ndim - 1,), (0,)), ((), ()))).astype(jnp.float32)
+    else:
+        y = lax.dot_general(x, kernel.astype(x.dtype),
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            precision=_precision_for(x))
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
 
 
 def conv2d(x, kernel, bias=None, stride=1, padding="SAME", dilation=1,
-           groups: int = 1):
-    """NHWC conv with HWIO kernel (torch cross-correlation semantics)."""
+           groups: int = 1, mxu_dtype=None, keep_mxu_dtype: bool = False):
+    """NHWC conv with HWIO kernel (torch cross-correlation semantics).
+
+    mxu_dtype='bfloat16': bf16 MXU inputs, f32 accumulation/result (see
+    dense). keep_mxu_dtype=True returns the low-precision result without the
+    final upcast — used when the caller wants to stash the conv output
+    (remat save) at half size and upcast on use."""
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    mixed = mxu_dtype is not None and x.dtype == jnp.float32
     y = lax.conv_general_dilated(
-        x, kernel.astype(x.dtype),
+        x.astype(mxu_dtype) if mixed else x,
+        kernel.astype(mxu_dtype if mixed else x.dtype),
         window_strides=stride,
         padding=padding,
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        precision=_precision_for(x),
-        preferred_element_type=x.dtype,
+        precision=lax.Precision.DEFAULT if mixed else _precision_for(x),
+        preferred_element_type=mxu_dtype if mixed else x.dtype,
     )
+    if mixed and not keep_mxu_dtype:
+        y = y.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
