@@ -30,6 +30,28 @@ from pathtracker_tpu.utils.meters import AverageMeter
 from pathtracker_tpu.utils.opts import parser
 
 
+def device_prefetch(iterator, sharding=None, depth: int = 2):
+    """Yield batches already device_put, `depth` transfers ahead.
+
+    jax transfers are async: issuing the put for batch i+1 before blocking on
+    step i's stats overlaps the H2D copy with device compute. Without this
+    the loop serializes transfer -> step -> fetch every iteration (on a
+    tunneled chip the transfer alone can rival the step time)."""
+    from collections import deque
+
+    buf = deque()
+    for item in iterator:
+        if sharding is not None:
+            item = tuple(jax.device_put(x, sharding) for x in item)
+        else:
+            item = tuple(jax.device_put(x) for x in item)
+        buf.append(item)
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def save_npz(log_dict: dict, results_folder: str, savename: str = "train") -> None:
     """train.npz / val.npz observability sinks (reference mainclean.py:101-104)."""
     with open(os.path.join(results_folder, savename + ".npz"), "wb") as f:
@@ -177,11 +199,10 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         time_since_last = time.time()
         end = time.perf_counter()
 
-        for idx, (imgs, target) in enumerate(train_loader):
+        sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+        for idx, (imgs, target) in enumerate(
+                device_prefetch(iter(train_loader), sharding)):
             meters["data_time"].update(time.perf_counter() - end)
-            if mesh is not None:
-                imgs = jax.device_put(imgs, mesh_lib.batch_sharding(mesh))
-                target = jax.device_put(target, mesh_lib.batch_sharding(mesh))
             # Profiler hook (reference had only wall-clock meters; SURVEY §5):
             # trace steps 1-4 of the first epoch — step 0 is the compile.
             if (getattr(args, "profile", None)
