@@ -32,8 +32,13 @@ def model_selector(args, timesteps: int, device=None):
     """Build a model from parsed args (reference utils/engine.py:75-217)."""
     kwargs = {}
     if getattr(args, "bf16", False) and args.model.startswith("InT"):
-        # bfloat16 fast path (f32 masters, bf16 activations/MXU inputs).
+        # bfloat16 fast path (f32 masters, bf16 MXU inputs, f32 state).
         kwargs["dtype"] = "bfloat16"
+    algo = getattr(args, "algo", "bptt")
+    if algo != "bptt" and family(args.model) == "recurrent":
+        # The reference printed args.algo but hardwired bptt
+        # (reference utils/engine.py:78-84); here --algo rbp is wired for real.
+        kwargs["grad_method"] = algo
     return _build(
         args.model,
         timesteps=timesteps,

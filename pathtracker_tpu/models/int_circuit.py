@@ -54,6 +54,48 @@ def _nl(name: str):
     return {"softplus": softplus, "tanh": jnp.tanh}[name]
 
 
+def _int_cell_step(cp, xt, carry, *, use_attention, no_inh, act, mxu,
+                   save_convs=True):
+    """One rCell step as a pure function of (param dict, hoisted inputs,
+    carry) — shared by the BPTT scan and the RBP custom-VJP path (which
+    forbids closed-over tracers). Returns ((new_inh, new_exc), att)."""
+    inp, att_x, gi_x = xt
+    inh, exc = carry
+
+    def fdense(z, kern, bias=None):
+        return dense(z, kern, bias, mxu_dtype=mxu)
+
+    def fconv(z, kern):
+        y = conv2d(z, kern, mxu_dtype=mxu, keep_mxu_dtype=True)
+        if save_convs:
+            y = _ckpt_name(y, "cell_conv")
+        return y.astype(jnp.float32) if mxu is not None else y
+
+    if use_attention:
+        att = jax.nn.sigmoid(att_x + fdense(exc, cp["a_u"], cp["a_u_b"]))
+        gated_exc = att * exc
+    else:
+        att = jnp.ones_like(exc)
+        gated_exc = exc
+    if not no_inh:
+        inh_intx = batch_norm(fconv(gated_exc, cp["w_inh"]),
+                              cp["bn0_scale"], cp["bn0_bias"])
+        inh_hat = act(inp - act(inh_intx * (cp["alpha"] * inh + cp["mu"])))
+        g_i = jax.nn.sigmoid(gi_x + fdense(inh, cp["i_u"], cp["i_u_b"]))
+        new_inh = (1.0 - g_i) * inh + g_i * inh_hat
+        gate_inh_ref = inh  # e-gate reads the pre-update inhibition
+    else:
+        new_inh = gated_exc
+        gate_inh_ref = exc  # reference models/InT.py:168
+    g_e = jax.nn.sigmoid(fdense(gate_inh_ref, cp["e_w"], cp["e_w_b"])
+                         + fdense(gated_exc, cp["e_u"], cp["e_u_b"]))
+    exc_intx = batch_norm(fconv(new_inh, cp["w_exc"]),
+                          cp["bn1_scale"], cp["bn1_bias"])
+    exc_hat = act(exc_intx * (cp["kappa"] * new_inh + cp["gamma"]))
+    new_exc = (1.0 - g_e) * exc + g_e * exc_hat
+    return (new_inh, new_exc), att
+
+
 class InT(nn.Module):
     """InT wrapper: preproc -> scan(rCell) -> target-conditioned readout.
 
@@ -171,35 +213,27 @@ class InT(nn.Module):
         xs = (to_tb(xbn), to_tb(att_in) if self.use_attention else None,
               to_tb(gi_in))
 
+        cp = dict(a_u=a_u, a_u_b=a_u_b, i_u=i_u, i_u_b=i_u_b,
+                  e_w=e_w, e_w_b=e_w_b, e_u=e_u, e_u_b=e_u_b,
+                  gamma=gamma, kappa=kappa, w_exc=w_exc,
+                  bn1_scale=bn1_scale, bn1_bias=bn1_bias) \
+            if self.use_attention else \
+            dict(i_u=i_u, i_u_b=i_u_b, e_w=e_w, e_w_b=e_w_b, e_u=e_u,
+                 e_u_b=e_u_b, gamma=gamma, kappa=kappa, w_exc=w_exc,
+                 bn1_scale=bn1_scale, bn1_bias=bn1_bias)
+        if not self.no_inh:
+            cp.update(w_inh=w_inh, alpha=alpha, mu=mu,
+                      bn0_scale=bn0_scale, bn0_bias=bn0_bias)
+        step_kw = dict(use_attention=self.use_attention, no_inh=self.no_inh,
+                       act=act, mxu=mxu)
+
         def step(carry, xt):
-            inh, exc = carry
-            inp, att_x, gi_x = xt
-            if self.use_attention:
-                att = jax.nn.sigmoid(att_x + fdense(exc, a_u, a_u_b))
-                gated_exc = att * exc
-            else:
-                att = jnp.ones_like(exc)
-                gated_exc = exc
-            if not self.no_inh:
-                inh_intx = batch_norm(fconv_saved(gated_exc, w_inh),
-                                      bn0_scale, bn0_bias)
-                inh_hat = act(inp - act(inh_intx * (alpha * inh + mu)))
-                g_i = jax.nn.sigmoid(gi_x + fdense(inh, i_u, i_u_b))
-                new_inh = (1.0 - g_i) * inh + g_i * inh_hat
-                gate_inh_ref = inh  # e-gate reads the pre-update inhibition
-            else:
-                new_inh = gated_exc
-                gate_inh_ref = exc  # reference models/InT.py:168
-            g_e = jax.nn.sigmoid(fdense(gate_inh_ref, e_w, e_w_b) + fdense(gated_exc, e_u, e_u_b))
-            exc_intx = batch_norm(fconv_saved(new_inh, w_exc),
-                                  bn1_scale, bn1_bias)
-            exc_hat = act(exc_intx * (kappa * new_inh + gamma))
-            new_exc = (1.0 - g_e) * exc + g_e * exc_hat
+            new_carry, att = _int_cell_step(cp, xt, carry, **step_kw)
             if testmode:
-                ys = (common.readout_state_map(ro, new_exc), att)
+                ys = (common.readout_state_map(ro, new_carry[1]), att)
             else:
                 ys = None
-            return (new_inh, new_exc), ys
+            return new_carry, ys
 
         if self.remat:
             if self.remat_policy == "conv":
@@ -210,7 +244,33 @@ class InT(nn.Module):
                 step = jax.checkpoint(step)
 
         zeros = jnp.zeros((b, h, w_, c), xbn.dtype)
-        (inh, exc), ys = jax.lax.scan(step, (zeros, zeros), xs)
+        if "rbp" in self.grad_method and not testmode:
+            # Neumann-series RBP (reference models/InT.py:10-55 dummyhgru):
+            # unroll T-1 steps without gradient, take ONE differentiable step
+            # through the custom VJP — backward memory is O(1) in T.
+            from pathtracker_tpu.ops.rbp import neumann_rbp
+
+            xs_head = jax.tree.map(lambda z: z[:-1], xs)
+            x_last = jax.tree.map(lambda z: z[-1], xs)
+
+            def nograd_step(carry, xt):
+                new_carry, _ = _int_cell_step(cp, xt, carry,
+                                              save_convs=False, **step_kw)
+                return new_carry, None
+
+            carry, _ = jax.lax.scan(nograd_step, (zeros, zeros), xs_head)
+            carry = jax.lax.stop_gradient(carry)
+
+            def rbp_step(aux, state):
+                cp_, xt_ = aux
+                new_carry, _ = _int_cell_step(cp_, xt_, state,
+                                              save_convs=False, **step_kw)
+                return new_carry
+
+            inh, exc = neumann_rbp(rbp_step, (cp, x_last), carry, 15)
+            ys = None
+        else:
+            (inh, exc), ys = jax.lax.scan(step, (zeros, zeros), xs)
 
         target_frame = xc[:, 0, :, :, 2]  # blue channel of frame 0
         logit = common.target_readout(ro, exc, target_frame).astype(jnp.float32)

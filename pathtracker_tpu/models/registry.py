@@ -62,7 +62,7 @@ def model_selector(model_name: str, timesteps: int, fb_kernel_size: int = 7,
                                kernel_size=fb_kernel_size, nl="tanh", **kwargs)
     if model_name == "fc":
         return int_circuit.FC(dimensions=dimensions, timesteps=timesteps,
-                              kernel_size=fb_kernel_size)
+                              kernel_size=fb_kernel_size, **kwargs)
 
     if model_name == "hgru":
         from pathtracker_tpu.models import hgru

@@ -96,3 +96,33 @@ def test_jacobian_penalty_semantics():
     pen_big = jacobian_penalty(step_big, s)
     assert float(pen_small) == 0.0
     assert float(pen_big) > 0.0
+
+
+def test_int_rbp_trains():
+    """InT with grad_method='rbp': forward matches bptt (same equations) and
+    params receive finite gradients through the Neumann VJP."""
+    from pathtracker_tpu.models.int_circuit import InT
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 3, 4, 10, 10)).astype(np.float32))
+    bptt = InT(dimensions=6, timesteps=4, kernel_size=3)
+    variables = bptt.init(jax.random.key(0), x)
+    rbp = InT(dimensions=6, timesteps=4, kernel_size=3, grad_method="rbp")
+
+    l_bptt, _ = bptt.apply(variables, x)
+    l_rbp, _ = rbp.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(l_bptt), np.asarray(l_rbp),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(params):
+        logit, _ = rbp.apply({"params": params}, x)
+        return jnp.mean(jax.nn.sigmoid(logit))
+
+    grads = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves_with_path(grads)
+    assert all(np.all(np.isfinite(v)) for _, v in leaves)
+    gnorms = {jax.tree_util.keystr(k): float(jnp.linalg.norm(v))
+              for k, v in leaves}
+    # Recurrent weights get gradient through the final RBP step.
+    for name in ("['w_exc']", "['w_inh']", "['readout_dense_kernel']"):
+        assert gnorms[name] > 0, f"zero grad for {name}"
