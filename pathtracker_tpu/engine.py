@@ -31,7 +31,10 @@ SLOWFAST_ALPHA = 4  # slow pathway takes every 4th frame (reference utils/engine
 def model_selector(args, timesteps: int, device=None):
     """Build a model from parsed args (reference utils/engine.py:75-217)."""
     kwargs = {}
-    if getattr(args, "bf16", False) and args.model.startswith("InT"):
+    if getattr(args, "bf16", False) and (
+            args.model.startswith("InT")
+            or args.model in ("hgru", "hgru_v2", "clock_hgru",
+                              "clock_hgru_fixed", "gru")):
         # bfloat16 fast path (f32 masters, bf16 MXU inputs, f32 state).
         kwargs["dtype"] = "bfloat16"
     algo = getattr(args, "algo", "bptt")

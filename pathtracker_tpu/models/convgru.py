@@ -26,11 +26,18 @@ class GRU(nn.Module):
     jacobian_penalty: bool = False
     grad_method: str = "bptt"
     remat: bool = True
+    # 'bfloat16' = mixed fast path (bf16 MXU inputs, f32 state; see
+    # models/int_circuit.py for why the carry must stay f32).
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, testmode: bool = False):
         c = self.dimensions
         k = self.kernel_size
+        mxu = None if jnp.dtype(self.dtype) == jnp.float32 else jnp.dtype(self.dtype)
+
+        def fconv(z, kern, bias=None):
+            return conv2d(z, kern, bias, mxu_dtype=mxu)
         pre_kernel = self.param("preproc_kernel", pt_init.torch_conv_default, (3, c))
         pre_bias = self.param("preproc_bias", pt_init.torch_conv_bias(3), (c,))
         # torch Conv2d(input+hidden -> hidden): fan_in = 2c*k*k. Kernels split
@@ -55,20 +62,21 @@ class GRU(nn.Module):
         # Hoist the input halves of all three convs over the full clip:
         # one conv3d-equivalent pass with T folded into batch.
         flat = xbn.reshape(b * t, h, w_, c)
-        rx = conv2d(flat, reset_x).reshape(b, t, h, w_, c)
-        ux = conv2d(flat, update_x).reshape(b, t, h, w_, c)
-        cx = conv2d(flat, cand_x).reshape(b, t, h, w_, c)
+        rx = fconv(flat, reset_x).reshape(b, t, h, w_, c)
+        ux = fconv(flat, update_x).reshape(b, t, h, w_, c)
+        cx = fconv(flat, cand_x).reshape(b, t, h, w_, c)
 
         def to_tb(z):
-            return jnp.transpose(z, (1, 0, 2, 3, 4))
+            z = jnp.transpose(z, (1, 0, 2, 3, 4))
+            return z.astype(mxu) if mxu is not None else z
 
         xs = (to_tb(rx), to_tb(ux), to_tb(cx))
 
         def step(state, xt):
             rx_t, ux_t, cx_t = xt
-            reset = jax.nn.sigmoid(rx_t + conv2d(state, reset_h) + reset_b)
-            update = jax.nn.sigmoid(ux_t + conv2d(state, update_h) + update_b)
-            cand = jnp.tanh(cx_t + conv2d(reset * state, cand_h) + cand_b)
+            reset = jax.nn.sigmoid(rx_t + fconv(state, reset_h) + reset_b)
+            update = jax.nn.sigmoid(ux_t + fconv(state, update_h) + update_b)
+            cand = jnp.tanh(cx_t + fconv(reset * state, cand_h) + cand_b)
             new_state = (1.0 - update) * state + update * cand
             ys = (new_state, reset) if testmode else None
             return new_state, ys

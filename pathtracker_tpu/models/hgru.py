@@ -36,6 +36,13 @@ class _HGRUBase(nn.Module):
     grad_method: str = "bptt"
     use_attention: bool = True
     remat: bool = True
+    # 'bfloat16' = the mixed fast path (bf16 MXU inputs, f32 state/BN —
+    # a pure-bf16 carry stalls training; see models/int_circuit.py).
+    dtype: str = "float32"
+
+    @property
+    def _mxu(self):
+        return None if jnp.dtype(self.dtype) == jnp.float32 else jnp.dtype(self.dtype)
 
     def _cell_params(self):
         c = self.dimensions
@@ -79,12 +86,22 @@ class _HGRUBase(nn.Module):
         clock_masks: optional [T, C] in [0,1] — per-step per-channel update
         fraction (clockwork-RNN style); channels with mask 0 hold their state."""
         b, t, h, w_, c = xbn.shape
+        mxu = self._mxu
+
+        def fdense(z, kern, bias=None):
+            return dense(z, kern, bias, mxu_dtype=mxu)
+
+        def fconv(z, kern):
+            y = conv2d(z, kern, mxu_dtype=mxu, keep_mxu_dtype=True)
+            return y.astype(jnp.float32) if mxu is not None else y
+
         if self.use_attention:
-            att_in = dense(xbn, p["a_w"], p["a_w_b"])
-        gi_in = dense(xbn, p["i_w"], p["i_w_b"])
+            att_in = fdense(xbn, p["a_w"], p["a_w_b"])
+        gi_in = fdense(xbn, p["i_w"], p["i_w_b"])
 
         def to_tb(z):
-            return jnp.transpose(z, (1, 0, 2, 3, 4))
+            z = jnp.transpose(z, (1, 0, 2, 3, 4))
+            return z.astype(mxu) if mxu is not None else z
 
         xs = (to_tb(xbn), to_tb(att_in) if self.use_attention else None,
               to_tb(gi_in), clock_masks)
@@ -93,21 +110,21 @@ class _HGRUBase(nn.Module):
             inh, exc = carry
             inp, att_x, gi_x, mask = xt
             if self.use_attention:
-                att = jax.nn.sigmoid(att_x + dense(exc, p["a_u"], p["a_u_b"]))
+                att = jax.nn.sigmoid(att_x + fdense(exc, p["a_u"], p["a_u_b"]))
                 gated_exc = att * exc
                 gated_inh = att  # hGRU quirk: gate tensor stands in for inhibition
             else:
                 att = jnp.ones_like(exc)
                 gated_exc = exc
                 gated_inh = inh
-            inh_intx = batch_norm(conv2d(gated_exc, p["w_inh"]),
+            inh_intx = batch_norm(fconv(gated_exc, p["w_inh"]),
                                   p["bn0_scale"], p["bn0_bias"])
             inh_hat = softplus(inp - softplus(inh_intx * (p["alpha"] * gated_inh + p["mu"])))
-            g_i = jax.nn.sigmoid(gi_x + dense(gated_inh, p["i_u"], p["i_u_b"]))
+            g_i = jax.nn.sigmoid(gi_x + fdense(gated_inh, p["i_u"], p["i_u_b"]))
             new_inh = (1.0 - g_i) * inh + g_i * inh_hat
-            g_e = jax.nn.sigmoid(dense(gated_inh, p["e_w"], p["e_w_b"])
-                                 + dense(gated_exc, p["e_u"], p["e_u_b"]))
-            exc_intx = batch_norm(conv2d(new_inh, p["w_exc"]),
+            g_e = jax.nn.sigmoid(fdense(gated_inh, p["e_w"], p["e_w_b"])
+                                 + fdense(gated_exc, p["e_u"], p["e_u_b"]))
+            exc_intx = batch_norm(fconv(new_inh, p["w_exc"]),
                                   p["bn1_scale"], p["bn1_bias"])
             exc_hat = softplus(exc_intx * (p["kappa"] * new_inh + p["gamma"]))
             new_exc = (1.0 - g_e) * exc + g_e * exc_hat

@@ -23,8 +23,18 @@ from pathtracker_tpu.engine import model_step
 from pathtracker_tpu.utils.metrics import acc_scores, bce_with_logits, eval_accuracy
 
 
-def make_optimizer(lr: float) -> optax.GradientTransformation:
-    """Adam with torch defaults (reference mainclean.py:157)."""
+def make_optimizer(lr: float, lr_steps=None, gamma: float = 0.1
+                   ) -> optax.GradientTransformation:
+    """Adam with torch defaults (reference mainclean.py:157).
+
+    lr_steps: optional step boundaries for a StepLR-style piecewise decay
+    (xgamma at each boundary). The reference *defined* a StepLR but never
+    stepped it (reference mainclean.py:160) — the train loop matches that by
+    not passing lr_steps; the capability is here for real use."""
+    if lr_steps:
+        schedule = optax.piecewise_constant_schedule(
+            lr, {int(s): gamma for s in lr_steps})
+        return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
 
