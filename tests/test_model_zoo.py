@@ -66,6 +66,53 @@ def test_recurrent_testmode_contract(name):
     assert gates.shape[:2] == (B, T)
 
 
+@pytest.mark.parametrize("name", ["stlstm", "fflstm", "lrcn", "lrcn_last"])
+def test_legacy_contract_models(name):
+    """The reference's legacy forward family takes the criterion into the
+    model (reference FFnet.py:51 etc.); here they run criterion-free and
+    return (logit-like [B, 1], jv_penalty)."""
+    model = model_selector(name, timesteps=T)
+    x = _sample_input(name)
+    variables = model.init(jax.random.key(0), x)
+    output, jv_penalty = model.apply(variables, x)
+    assert output.shape == (B, 1), f"{name}: {output.shape}"
+    assert np.isfinite(np.asarray(output)).all()
+    assert np.isfinite(np.asarray(jv_penalty)).all()
+
+
+def _convlstm_image():
+    # ConvLSTM is the reference's fixed-point net over a STATIC image
+    # (reference convlstm.py:104-119), not a video model.
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.standard_normal((B, 1, HW, HW)).astype(np.float32))
+
+
+def test_convlstm_contract():
+    model = model_selector("convlstm", timesteps=4)
+    x = _convlstm_image()
+    variables = model.init(jax.random.key(0), x)
+    output, jv_penalty = model.apply(variables, x)
+    assert output.shape == (B, 2, HW, HW)
+    assert np.isfinite(np.asarray(output)).all()
+    assert np.isfinite(np.asarray(jv_penalty)).all()
+
+
+def test_convlstm_rbp_runs():
+    """ConvLSTM is the reference's one model_selector-reachable RBP user
+    (grad_method='rbp', reference convlstm.py:124-135)."""
+    model = model_selector("convlstm", timesteps=4, grad_method="rbp")
+    x = _convlstm_image()
+    variables = model.init(jax.random.key(0), x)
+
+    def loss(params):
+        out, _ = model.apply({"params": params}, x)
+        return jnp.mean(out)
+
+    grads = jax.grad(loss)(variables["params"])
+    assert all(np.all(np.isfinite(np.asarray(v)))
+               for v in jax.tree_util.tree_leaves(grads))
+
+
 def test_tsm_op_semantics():
     from pathtracker_tpu.ops.tsm import tsm
 
