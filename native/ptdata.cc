@@ -84,10 +84,16 @@ bool GunzipAll(const uint8_t* data, size_t size, std::vector<uint8_t>* out) {
     out->insert(out->end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
     if (rc == Z_STREAM_END && zs.avail_in > 0) {
       // Concatenated gzip members: restart.
-      if (inflateReset2(&zs, 16 + MAX_WBITS) != Z_OK) break;
+      if (inflateReset2(&zs, 16 + MAX_WBITS) != Z_OK) {
+        inflateEnd(&zs);
+        return false;
+      }
       rc = Z_OK;
     } else if (rc != Z_STREAM_END && zs.avail_in == 0 && zs.avail_out != 0) {
-      break;  // truncated
+      // Truncated stream: fail loudly — silently decoding a partial shard
+      // would train on a fraction of the data with no error.
+      inflateEnd(&zs);
+      return false;
     }
   }
   inflateEnd(&zs);
@@ -229,6 +235,13 @@ void* ptdata_read_file(const char* path, int clip_bytes) {
       h->labels.push_back(label);
     }
     pos += length + 4;  // skip payload crc
+  }
+  // Records existed but none parsed with the expected clip size: the caller's
+  // timesteps/shape is wrong or the file isn't this schema — error, don't
+  // silently yield an empty shard.
+  if (count > 0 && h->labels.empty()) {
+    ReleaseHandle(h);
+    return nullptr;
   }
   return h;
 }

@@ -71,7 +71,8 @@ class ShardView:
     — on this VM a fresh ~50-100MB allocation costs seconds of first-touch
     page faults, which is why the pipeline avoids per-clip copies entirely."""
 
-    def __init__(self, path: str, timesteps: int, height: int, width: int):
+    def __init__(self, path: str, timesteps: int, height: int = 32,
+                 width: int = 32):
         lib = _load()
         clip_bytes = timesteps * height * width * 3
         self._lib = lib
@@ -79,6 +80,12 @@ class ShardView:
         if not self._handle:
             raise IOError(f"ptdata failed to read {path}")
         n = lib.ptdata_num_records(self._handle)
+        if n == 0:
+            # Legitimately empty shard: expose empty arrays (the data()
+            # pointers may be NULL for a fresh handle).
+            self.clips = np.empty((0, timesteps, height, width, 3), np.uint8)
+            self.labels = np.empty((0,), np.uint8)
+            return
         cptr = lib.ptdata_clips_ptr(self._handle)
         lptr = lib.ptdata_labels_ptr(self._handle)
         self.clips = np.ctypeslib.as_array(

@@ -40,7 +40,15 @@ def model_selector(args, timesteps: int, device=None):
     algo = getattr(args, "algo", "bptt")
     if algo != "bptt" and family(args.model) == "recurrent":
         # The reference printed args.algo but hardwired bptt
-        # (reference utils/engine.py:78-84); here --algo rbp is wired for real.
+        # (reference utils/engine.py:78-84); here --algo rbp is wired for
+        # real — but only where the model implements it. Every other model
+        # accepts grad_method as a field and ignores it, so passing it
+        # through silently would mislabel BPTT runs as RBP.
+        if "rbp" in algo and not (args.model.startswith("InT")
+                                  or args.model == "convlstm"):
+            raise NotImplementedError(
+                f"--algo {algo!r} is implemented for InT* and convlstm; "
+                f"{args.model!r} trains with bptt")
         kwargs["grad_method"] = algo
     return _build(
         args.model,
@@ -62,22 +70,25 @@ def slowfast_pathways(imgs):
     return [slow, imgs]
 
 
-def model_step(model, params, imgs, model_name: str, test: bool = False):
+def model_step(model, params, imgs, model_name: str, test: bool = False,
+               rngs=None):
     """Forward dispatch over the three contract families
     (reference utils/engine.py:42-72). Returns (output, jv_penalty) or, with
     test=True, (output, states, gates) — None states/gates for non-recurrent
-    families."""
+    families. `rngs` (e.g. {'dropout': key}) is supplied by the train step;
+    models without stochastic layers ignore it."""
     fam = family(model_name)
+    kw = {"rngs": rngs} if rngs else {}
     if fam == "torchvision":
-        output = model.apply(params, imgs)
+        output = model.apply(params, imgs, **kw)
         jv_penalty = jnp.ones((1,), jnp.float32)
     elif fam == "slowfast":
-        output = model.apply(params, slowfast_pathways(imgs))
+        output = model.apply(params, slowfast_pathways(imgs), **kw)
         jv_penalty = jnp.ones((1,), jnp.float32)
     else:
         if test:
-            return model.apply(params, imgs, testmode=True)
-        return model.apply(params, imgs)
+            return model.apply(params, imgs, testmode=True, **kw)
+        return model.apply(params, imgs, **kw)
     if test:
         return output, None, None
     return output, jv_penalty

@@ -142,13 +142,6 @@ class InT(nn.Module):
         def fdense(z, kern, bias=None):
             return dense(z, kern, bias, mxu_dtype=mxu)
 
-        def fconv_saved(z, kern):
-            # Remat-saved conv output: stash at MXU precision (half the HBM
-            # of an f32 save across the 64-step scan), upcast on use.
-            y = _ckpt_name(conv2d(z, kern, mxu_dtype=mxu, keep_mxu_dtype=True),
-                           "cell_conv")
-            return y.astype(jnp.float32) if mxu is not None else y
-
         # ---- parameters (names mirror the reference's state_dict keys) ----
         pre_kernel = self.param("preproc_kernel", pt_init.torch_conv_default, (3, c))
         pre_bias = self.param("preproc_bias", pt_init.torch_conv_bias(3), (c,))

@@ -22,7 +22,6 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from pathtracker_tpu.models.common import bcthw_to_bthwc
@@ -86,7 +85,6 @@ class _NonLocal(nn.Module):
         theta = _ConvBN3dless(c, half, name="theta")(x)
         phi = _ConvBN3dless(c, half, name="phi")(x)
         g = _ConvBN3dless(c, half, name="g")(x)
-        n = np.prod(x.shape[1:4])
         theta = theta.reshape(b, -1, half)
         phi = phi.reshape(b, -1, half)
         g = g.reshape(b, -1, half)
@@ -116,6 +114,7 @@ class SlowFast(nn.Module):
     width: int = 64
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
     num_classes: int = 1
+    dropout_rate: float = 0.5
     nonlocal_slow: Sequence[Sequence[int]] = ((), (), (), ())
 
     @nn.compact
@@ -168,6 +167,14 @@ class SlowFast(nn.Module):
         s_pool = jnp.mean(slow, axis=(1, 2, 3))
         f_pool = jnp.mean(fast, axis=(1, 2, 3))
         feat = jnp.concatenate([s_pool, f_pool], axis=-1)
+        # Dropout 0.5 before the head (cfgs/slowfast.yaml DROPOUT_RATE):
+        # active when the caller supplies a 'dropout' rng (the train step
+        # does); inference/eval applies none.
+        if self.dropout_rate > 0 and self.has_rng("dropout"):
+            keep = 1.0 - self.dropout_rate
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                        feat.shape)
+            feat = jnp.where(mask, feat / keep, 0.0)
         head_k = self.param("head_kernel", nn.initializers.normal(stddev=0.01),
                             (feat.shape[-1], self.num_classes))
         head_b = self.param("head_bias", nn.initializers.zeros, (self.num_classes,))

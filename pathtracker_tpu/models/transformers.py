@@ -168,14 +168,24 @@ class TransformerModel(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _favor_features(x, proj):
-    """Positive softmax-kernel features (FAVOR+): x [..., d], proj [m, d]."""
+def _favor_features(x, proj, is_query: bool, seq_axis: int = 1):
+    """Positive softmax-kernel features (FAVOR+): x [..., d], proj [m, d].
+
+    Stabilizer placement matters: for queries a per-position max cancels in
+    the attention ratio (numerator and denominator share it), but for keys
+    it must be GLOBAL over the sequence — a per-key max would reweight key j
+    against key j' by exp(max_j - max_j') and change the attention
+    distribution (same rule as performer-pytorch's softmax_kernel)."""
     d = x.shape[-1]
     x = x / (d ** 0.25)
     xw = jnp.einsum("...d,md->...m", x, proj)
     sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True) / 2.0
     m = proj.shape[0]
-    return jnp.exp(xw - sq - jnp.max(xw, axis=-1, keepdims=True)) / np.sqrt(m) + 1e-6
+    if is_query:
+        stab = jnp.max(xw, axis=-1, keepdims=True)
+    else:
+        stab = jnp.max(xw, axis=(seq_axis, -1), keepdims=True)
+    return jnp.exp(xw - sq - jax.lax.stop_gradient(stab)) / np.sqrt(m) + 1e-6
 
 
 class PerformerModel(nn.Module):
@@ -215,8 +225,8 @@ class PerformerModel(nn.Module):
                                (inner, c))
             qkv = dense(z, qkv_k).reshape(b, -1, 3, self.heads, dh)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            qf = _favor_features(q, proj)  # [B,N,H,M]
-            kf = _favor_features(k, proj)
+            qf = _favor_features(q, proj, is_query=True)  # [B,N,H,M]
+            kf = _favor_features(k, proj, is_query=False, seq_axis=1)
             # Causal linear attention via prefix sums along the sequence.
             kv = jnp.einsum("bnhm,bnhd->bnhmd", kf, v)
             kv_cum = jnp.cumsum(kv, axis=1)

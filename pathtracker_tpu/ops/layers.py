@@ -45,12 +45,12 @@ def dense(x, kernel, bias=None, mxu_dtype=None):
     result — activations/state stay f32 so small recurrent updates survive
     (pure-bf16 carries stall training on the plateau; see BASELINE.md)."""
     if mxu_dtype is not None and x.dtype == jnp.float32:
-        # Cast in, compute at mxu dtype, cast out: the MXU accumulates bf16
-        # products in f32 internally, and keeping the casts as explicit ops
-        # (rather than mixed-dtype operands) makes the transpose rules well
-        # defined in backward.
+        # bf16 inputs with an f32 preferred output: single MXU pass, true f32
+        # accumulation, no bf16 rounding of the result (dot_general's
+        # transpose rules handle this; conv's do not — see conv2d).
         y = lax.dot_general(x.astype(mxu_dtype), kernel.astype(mxu_dtype),
-                            (((x.ndim - 1,), (0,)), ((), ()))).astype(jnp.float32)
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     else:
         y = lax.dot_general(x, kernel.astype(x.dtype),
                             (((x.ndim - 1,), (0,)), ((), ())),
@@ -64,10 +64,12 @@ def conv2d(x, kernel, bias=None, stride=1, padding="SAME", dilation=1,
            groups: int = 1, mxu_dtype=None, keep_mxu_dtype: bool = False):
     """NHWC conv with HWIO kernel (torch cross-correlation semantics).
 
-    mxu_dtype='bfloat16': bf16 MXU inputs, f32 accumulation/result (see
-    dense). keep_mxu_dtype=True returns the low-precision result without the
-    final upcast — used when the caller wants to stash the conv output
-    (remat save) at half size and upcast on use."""
+    mxu_dtype='bfloat16': bf16 MXU inputs; the result is produced at bf16 and
+    upcast (conv_general_dilated's transpose rule rejects an f32 cotangent
+    against bf16 operands, so unlike `dense` the conv output takes one bf16
+    rounding — the f32 state accumulation that matters for training lives
+    outside the conv). keep_mxu_dtype=True skips the upcast — used to stash
+    the conv output (remat save) at half size and upcast on use."""
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(dilation, int):

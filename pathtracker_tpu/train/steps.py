@@ -39,15 +39,18 @@ def make_optimizer(lr: float, lr_steps=None, gamma: float = 0.1
 
 
 def make_train_step(model, model_name: str, optimizer, penalty: bool = False,
-                    prepare_kwargs: dict | None = None):
+                    prepare_kwargs: dict | None = None, seed: int = 0):
     """Build the jitted step. The step consumes the *raw uint8* batch —
     normalization/layout runs inside the compiled program (4x smaller H2D
-    transfer than shipping f32, and XLA fuses the prep into the first conv)."""
+    transfer than shipping f32, and XLA fuses the prep into the first conv).
+    A per-step dropout rng (folded from `seed`) reaches models with
+    stochastic layers (SlowFast's pre-head dropout); others ignore it."""
     prep = dict(prepare_kwargs or {})
 
-    def loss_fn(params, raw_imgs, raw_labels):
+    def loss_fn(params, raw_imgs, raw_labels, rng):
         imgs, target = prepare_batch(raw_imgs, raw_labels, **prep)
-        output, jv_penalty = model_step(model, {"params": params}, imgs, model_name)
+        output, jv_penalty = model_step(model, {"params": params}, imgs,
+                                        model_name, rngs={"dropout": rng})
         loss = bce_with_logits(output, target)
         jv = jnp.mean(jv_penalty)
         total = loss + jv * 1e1 if penalty else loss
@@ -57,9 +60,12 @@ def make_train_step(model, model_name: str, optimizer, penalty: bool = False,
              "f1score")
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def _step(params, opt_state, raw_imgs, raw_labels):
+    def _step(params, opt_state, raw_imgs, raw_labels, step_idx):
+        # Key derivation stays inside the compiled program: an eager
+        # fold_in would cost a separate device dispatch per step.
+        rng = jax.random.fold_in(jax.random.key(seed), step_idx)
         (total, (loss, jv, output)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, raw_imgs, raw_labels)
+            loss_fn, has_aux=True)(params, raw_imgs, raw_labels, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         target = raw_labels.astype(jnp.float32)
@@ -72,8 +78,13 @@ def make_train_step(model, model_name: str, optimizer, penalty: bool = False,
                             precision, recall, f1s])
         return params, opt_state, packed
 
+    counter = [0]
+
     def train_step(params, opt_state, raw_imgs, raw_labels):
-        params, opt_state, packed = _step(params, opt_state, raw_imgs, raw_labels)
+        step_idx = np.uint32(counter[0])
+        counter[0] += 1
+        params, opt_state, packed = _step(params, opt_state, raw_imgs,
+                                          raw_labels, step_idx)
         host = np.asarray(packed)  # single host fetch / sync point
         return params, opt_state, dict(zip(_KEYS, host))
 
