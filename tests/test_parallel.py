@@ -102,6 +102,41 @@ def test_2d_mesh_tensor_parallel_matches_single_device(mesh8):
                                    err_msg=jax.tree_util.keystr(ka))
 
 
+def test_2d_mesh_spatial_parallel_matches_single_device(mesh8):
+    """dp x sp: the image H axis sharded over the second mesh axis — GSPMD
+    inserts the conv halo exchanges; numerics must match single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
+
+    mesh2 = mesh_lib.make_mesh_2d(4, 2, ("data", "space"))
+    model = InT(dimensions=8, timesteps=3, kernel_size=3)
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, size=(8, 3, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(8,), dtype=np.uint8)
+    sample = jnp.zeros((8, 3, 3, 16, 16), jnp.float32)
+    params0 = jax.device_get(model.init(jax.random.key(2), sample)["params"])
+    opt = make_optimizer(1e-3)
+
+    step = make_train_step(model, "InT", opt)
+    p1, _, s1 = step(params0, opt.init(params0), imgs, labels)
+
+    im = jax.device_put(imgs, NamedSharding(mesh2, P("data", None, "space")))
+    lb = jax.device_put(labels, NamedSharding(mesh2, P("data")))
+    pr = jax.tree.map(
+        lambda v: jax.device_put(v, NamedSharding(mesh2, P())), params0)
+    step2 = make_train_step(model, "InT", opt)
+    p2, _, s2 = step2(pr, jax.jit(opt.init)(pr), im, lb)
+
+    np.testing.assert_allclose(float(s1["loss"]), float(s2["loss"]), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p1)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p2))):
+        np.testing.assert_allclose(va, vb, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
