@@ -1,0 +1,150 @@
+"""Device-resident datasets: keep the WHOLE dataset in HBM, sample batches
+on device inside the jitted train step.
+
+The reference streams TFRecords from disk every batch (tf.data); on TPU the
+full PathTracker dataset fits in HBM (20k clips x 64 frames x 32x32x3 uint8
+= 3.9 GB against 16 GB/chip), so the host input pipeline — decode, shuffle,
+batch, and the host->device copy — can disappear from the steady state
+entirely: one upload at startup, then every batch is a device-side gather.
+On a host with slow H2D this is the difference between transfer-bound and
+compute-bound training; on production hosts it still removes the input
+pipeline as a moving part.
+
+Shuffle semantics: a fresh permutation per epoch derived on device from
+(seed, epoch) — same coverage guarantee as the reference's reshuffling
+loader (every clip exactly once per epoch).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+
+import numpy as np
+
+
+def load_resident(data_dir: str, timesteps: int, height: int = 32,
+                  width: int = 32, limit: int | None = None):
+    """Load every shard matching the glob into one (clips, labels) pair and
+    device_put them. Returns (clips [N,T,H,W,3] uint8 on device, labels [N])."""
+    import jax
+
+    from pathtracker_tpu.data import native as _native
+    from pathtracker_tpu.data.tfrecord import read_clip_records as py_read
+
+    files = sorted(_glob.glob(data_dir))
+    if not files:
+        raise FileNotFoundError(f"no shards match {data_dir}")
+    all_clips, all_labels = [], []
+    n = 0
+    for path in files:
+        if _native.available():
+            with _native.ShardView(path, timesteps, height, width) as shard:
+                take = len(shard)
+                if limit is not None:
+                    take = min(take, limit - n)
+                all_clips.append(shard.clips[:take])  # fancy/slice copy
+                all_labels.append(shard.labels[:take].copy())
+        else:
+            clips = []
+            labels = []
+            for clip, label in py_read(path, timesteps, height, width):
+                clips.append(clip)
+                labels.append(label)
+                if limit is not None and n + len(clips) >= limit:
+                    break
+            take = len(clips)
+            all_clips.append(np.stack(clips))
+            all_labels.append(np.asarray(labels, np.uint8))
+        n += take
+        if limit is not None and n >= limit:
+            break
+    clips = np.concatenate(all_clips)
+    labels = np.concatenate(all_labels)
+    return jax.device_put(clips), jax.device_put(labels)
+
+
+class ResidentBatches:
+    """Re-iterable sequential batch view over device-resident arrays (used
+    for validation; slicing stays on device)."""
+
+    def __init__(self, clips, labels, batch_size: int):
+        self.clips = clips
+        self.labels = labels
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        n = int(self.labels.shape[0])
+        b = self.batch_size
+        for i in range(0, n - b + 1, b):
+            yield self.clips[i:i + b], self.labels[i:i + b]
+
+
+def make_resident_train_step(model, model_name: str, optimizer,
+                             n_clips: int, batch_size: int,
+                             penalty: bool = False,
+                             prepare_kwargs: dict | None = None,
+                             seed: int = 0):
+    """Jitted step over a device-resident dataset.
+
+    step(params, opt_state, data, labels, step_idx) gathers batch
+    `step_idx % steps_per_epoch` of the epoch `step_idx // steps_per_epoch`
+    permutation on device — zero host involvement besides the scalar index.
+    Returns (params, opt_state, stats dict) like train.steps.make_train_step.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pathtracker_tpu.data.prepare import prepare_batch
+    from pathtracker_tpu.engine import model_step
+    from pathtracker_tpu.utils.metrics import acc_scores, bce_with_logits
+
+    prep = dict(prepare_kwargs or {})
+    steps_per_epoch = max(n_clips // batch_size, 1)
+
+    _KEYS = ("loss", "scaled_loss", "jvpen", "balacc", "precision", "recall",
+             "f1score")
+
+    def loss_fn(params, raw_imgs, raw_labels, rng):
+        imgs, target = prepare_batch(raw_imgs, raw_labels, **prep)
+        output, jv_penalty = model_step(model, {"params": params}, imgs,
+                                        model_name, rngs={"dropout": rng})
+        loss = bce_with_logits(output, target)
+        jv = jnp.mean(jv_penalty)
+        total = loss + jv * 1e1 if penalty else loss
+        return total, (loss, jv, output)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _step(params, opt_state, data, labels, step_idx):
+        epoch = step_idx // steps_per_epoch
+        slot = step_idx % steps_per_epoch
+        perm = jax.random.permutation(
+            jax.random.fold_in(jax.random.key(seed), epoch), n_clips)
+        idx = jax.lax.dynamic_slice_in_dim(perm, slot * batch_size, batch_size)
+        raw_imgs = jnp.take(data, idx, axis=0)
+        raw_labels = jnp.take(labels, idx, axis=0)
+        rng = jax.random.fold_in(jax.random.key(seed + 1), step_idx)
+        (total, (loss, jv, output)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, raw_imgs, raw_labels, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        target = raw_labels.astype(jnp.float32)
+        balacc, precision, recall, f1s = acc_scores(target, output)
+        packed = jnp.stack([loss.astype(jnp.float32), total, jv, balacc,
+                            precision, recall, f1s])
+        return params, opt_state, packed
+
+    counter = [0]
+
+    def train_step(params, opt_state, data, labels):
+        step_idx = np.uint32(counter[0])
+        counter[0] += 1
+        params, opt_state, packed = _step(params, opt_state, data, labels,
+                                          step_idx)
+        host = np.asarray(packed)
+        return params, opt_state, dict(zip(_KEYS, host))
+
+    train_step.steps_per_epoch = steps_per_epoch
+    return train_step

@@ -127,14 +127,35 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         optical_flow=args.optical_flow,
         synth_train=args.synth_train, synth_test=args.synth_test)
 
-    print("Loading training dataset")
-    train_loader = tfr_data_loader(
-        data_dir=pf_root + "train-*", batch_size=args.batch_size,
-        drop_remainder=True, timesteps=args.length, seed=args.seed)
-    print("Loading validation dataset")
-    val_loader = tfr_data_loader(
-        data_dir=pf_root + "test-*", batch_size=args.batch_size,
-        drop_remainder=True, timesteps=args.length, seed=args.seed)
+    device_data = getattr(args, "device_data", False)
+    if device_data and args.parallel:
+        raise NotImplementedError(
+            "--device-data currently targets single-chip runs; shard the "
+            "resident arrays over the mesh before combining with --parallel")
+    if device_data:
+        from pathtracker_tpu.data.resident import load_resident
+
+        print("Loading training dataset (device-resident)")
+        train_clips, train_labels = load_resident(
+            pf_root + "train-*", timesteps=args.length)
+        print("Loading validation dataset (device-resident)")
+        val_clips, val_labels = load_resident(
+            pf_root + "test-*", timesteps=args.length)
+        from pathtracker_tpu.data.resident import ResidentBatches
+
+        train_loader = None
+        val_loader = ResidentBatches(val_clips, val_labels, args.batch_size)
+        len_train_loader = int(train_labels.shape[0])
+        len_val_loader = int(val_labels.shape[0])
+    else:
+        print("Loading training dataset")
+        train_loader = tfr_data_loader(
+            data_dir=pf_root + "train-*", batch_size=args.batch_size,
+            drop_remainder=True, timesteps=args.length, seed=args.seed)
+        print("Loading validation dataset")
+        val_loader = tfr_data_loader(
+            data_dir=pf_root + "test-*", batch_size=args.batch_size,
+            drop_remainder=True, timesteps=args.length, seed=args.seed)
 
     results_folder = results_folder_for(args)
     os.makedirs(results_folder, exist_ok=True)
@@ -180,8 +201,17 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     prep = {"disentangle_channels": disentangle_channels,
             "pretrained_norm": args.pretrained,
             "coord_channels": "_cc" in args.model and args.model != "nostride_video_cc_small"}
-    train_step = make_train_step(model, args.model, optimizer,
-                                 penalty=args.penalty, prepare_kwargs=prep)
+    if device_data:
+        from pathtracker_tpu.data.resident import make_resident_train_step
+
+        train_step = make_resident_train_step(
+            model, args.model, optimizer, n_clips=len_train_loader,
+            batch_size=args.batch_size, penalty=args.penalty,
+            prepare_kwargs=prep, seed=args.seed)
+    else:
+        train_step = make_train_step(model, args.model, optimizer,
+                                     penalty=args.penalty, prepare_kwargs=prep,
+                                     seed=args.seed)
     eval_step = make_eval_step(model, args.model, prepare_kwargs=prep)
 
     val_log_dict = {"loss": [], "balacc": [], "precision": [], "recall": [],
@@ -200,8 +230,13 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         end = time.perf_counter()
 
         sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
-        for idx, (imgs, target) in enumerate(
-                device_prefetch(iter(train_loader), sharding)):
+        if device_data:
+            # Resident mode: the step gathers its own batch on device.
+            batches = ((train_clips, train_labels)
+                       for _ in range(train_step.steps_per_epoch))
+        else:
+            batches = device_prefetch(iter(train_loader), sharding)
+        for idx, (imgs, target) in enumerate(batches):
             meters["data_time"].update(time.perf_counter() - end)
             # Profiler hook (reference had only wall-clock meters; SURVEY §5):
             # trace steps 1-4 of the first epoch — step 0 is the compile.

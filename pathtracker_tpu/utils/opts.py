@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synth-train", type=int, default=None,
                         help="synthetic dataset size if TFRecords are missing")
     parser.add_argument("--synth-test", type=int, default=None)
+    parser.add_argument("--device-data", default=False, action="store_true",
+                        help="keep the whole dataset resident in HBM and "
+                             "gather batches on device (fits PathTracker's "
+                             "20k x 64-frame configs in <4GB; removes the "
+                             "host input pipeline from the steady state)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="write a jax.profiler trace of post-compile train"
                              " steps to DIR (view with tensorboard/xprof)")

@@ -103,3 +103,39 @@ def test_viz_flow(trained_run, monkeypatch):
     assert os.path.exists(npz)
     data = np.load(npz)
     assert "pos_grads" in data and "attention" in data
+
+
+def test_device_resident_training(tmp_path):
+    """--device-data: whole dataset in (virtual) device memory, batches
+    gathered inside the jitted step; artifacts identical in shape to the
+    streaming path."""
+    import jax.numpy as jnp
+
+    from pathtracker_tpu.data.resident import (ResidentBatches,
+                                               make_resident_train_step)
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer
+
+    import jax
+
+    rng = np.random.default_rng(0)
+    clips = rng.integers(0, 255, size=(12, 4, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(12,), dtype=np.uint8)
+    model = InT(dimensions=8, timesteps=4, kernel_size=3)
+    sample = jnp.zeros((4, 3, 4, 16, 16), jnp.float32)
+    params = model.init(jax.random.key(0), sample)["params"]
+    opt = make_optimizer(1e-3)
+    step = make_resident_train_step(model, "InT", opt, n_clips=12,
+                                    batch_size=4, seed=0)
+    assert step.steps_per_epoch == 3
+    dc, dl = jax.device_put(clips), jax.device_put(labels)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(3):  # one epoch: every clip exactly once (permutation)
+        params, opt_state, stats = step(params, opt_state, dc, dl)
+        losses.append(float(stats["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+
+    batches = list(ResidentBatches(dc, dl, 5))
+    assert len(batches) == 2  # 12 // 5, remainder dropped
+    assert batches[0][0].shape == (5, 4, 16, 16, 3)
