@@ -64,19 +64,35 @@ def load_resident(data_dir: str, timesteps: int, height: int = 32,
 
 
 class ResidentBatches:
-    """Re-iterable sequential batch view over device-resident arrays (used
-    for validation; slicing stays on device)."""
+    """Re-iterable batch view over device-resident arrays (used for
+    validation; gathers stay on device).
 
-    def __init__(self, clips, labels, batch_size: int):
+    shuffle=True reshuffles every iteration — matching the reference's val
+    loader (tf.data shuffle(1000) with reshuffle_each_iteration, reference
+    utils/TFRDataset.py:43-47). This matters beyond statistics: validation
+    runs `logiters` batches per epoch, and EarlyStopping's patience counter
+    only resets on val-metric improvement — with a FIXED val slice the
+    metric is constant through the task's long chance-level plateau and
+    early stopping fires deterministically mid-plateau."""
+
+    def __init__(self, clips, labels, batch_size: int, shuffle: bool = True,
+                 seed: int = 0):
         self.clips = clips
         self.labels = labels
         self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
 
     def __iter__(self):
+        import jax.numpy as jnp
+
         n = int(self.labels.shape[0])
         b = self.batch_size
+        order = (self._rng.permutation(n) if self.shuffle else np.arange(n))
         for i in range(0, n - b + 1, b):
-            yield self.clips[i:i + b], self.labels[i:i + b]
+            idx = jnp.asarray(order[i:i + b])
+            yield (jnp.take(self.clips, idx, axis=0),
+                   jnp.take(self.labels, idx, axis=0))
 
 
 def make_resident_train_step(model, model_name: str, optimizer,

@@ -144,7 +144,8 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         from pathtracker_tpu.data.resident import ResidentBatches
 
         train_loader = None
-        val_loader = ResidentBatches(val_clips, val_labels, args.batch_size)
+        val_loader = ResidentBatches(val_clips, val_labels, args.batch_size,
+                                     shuffle=True, seed=args.seed)
         len_train_loader = int(train_labels.shape[0])
         len_val_loader = int(val_labels.shape[0])
     else:
