@@ -32,10 +32,11 @@ def model_selector(args, timesteps: int, device=None):
     """Build a model from parsed args (reference utils/engine.py:75-217)."""
     kwargs = {}
     if getattr(args, "bf16", False) and (
-            args.model.startswith("InT")
+            args.model.startswith(("InT", "r3d", "mc3", "r2plus1", "nostride"))
             or args.model in ("hgru", "hgru_v2", "clock_hgru",
                               "clock_hgru_fixed", "gru")):
-        # bfloat16 fast path (f32 masters, bf16 MXU inputs, f32 state).
+        # bfloat16 fast path: recurrent trackers use mixed precision (bf16
+        # MXU inputs, f32 state); feedforward ResNets run fully bf16.
         kwargs["dtype"] = "bfloat16"
     algo = getattr(args, "algo", "bptt")
     if algo != "bptt" and family(args.model) == "recurrent":

@@ -169,11 +169,16 @@ class VideoResNet(nn.Module):
     num_classes: int = 1
     layers: Sequence[int] = (2, 2, 2, 2)
     timesteps: int | None = None
+    # 'bfloat16' runs the whole feedforward net in bf16 (safe without a
+    # recurrent carry; BN statistics stay f32 inside ops.layers.batch_norm
+    # and the logits are returned f32).
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, testmode: bool = False):
         cfg = VARIANTS[self.variant]
         xc = common.bcthw_to_bthwc(x)  # [B,T,H,W,C]
+        xc = xc.astype(jnp.dtype(self.dtype))
         target = xc[:, 0, :, :, 2] if cfg["readout"] == "target" else None
 
         if cfg.get("add_positions"):
@@ -226,13 +231,13 @@ class VideoResNet(nn.Module):
                             nn.initializers.normal(stddev=0.01),
                             (flat.shape[-1], self.num_classes))
             fb = self.param("fc_bias", nn.initializers.zeros, (self.num_classes,))
-            return dense(flat, fk, fb)
+            return dense(flat, fk, fb).astype(jnp.float32)
 
         pooled = jnp.mean(y, axis=(1, 2, 3))  # AdaptiveAvgPool3d((1,1,1))
         fk = self.param("fc_kernel", nn.initializers.normal(stddev=0.01),
                         (inplanes, self.num_classes))
         fb = self.param("fc_bias", nn.initializers.zeros, (self.num_classes,))
-        return dense(pooled, fk, fb)
+        return dense(pooled, fk, fb).astype(jnp.float32)
 
 
 def build(variant: str, timesteps: int | None = None, pretrained: bool = False,
