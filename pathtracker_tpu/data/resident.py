@@ -99,19 +99,26 @@ def make_resident_train_step(model, model_name: str, optimizer,
                              n_clips: int, batch_size: int,
                              penalty: bool = False,
                              prepare_kwargs: dict | None = None,
-                             seed: int = 0):
+                             seed: int = 0, mesh=None):
     """Jitted step over a device-resident dataset.
 
     step(params, opt_state, data, labels, step_idx) gathers batch
     `step_idx % steps_per_epoch` of the epoch `step_idx // steps_per_epoch`
     permutation on device — zero host involvement besides the scalar index.
     Returns (params, opt_state, stats dict) like train.steps.make_train_step.
+
+    With a mesh, `data`/`labels` arrive sharded over the 'data' axis and the
+    gather runs per device via shard_map: each shard permutes ITS resident
+    slice per epoch (rng folded with the device index), so the global batch
+    is the concatenation of local gathers — no cross-device index traffic;
+    the usual data-parallel gradient all-reduce follows.
     """
     import functools
 
     import jax
     import jax.numpy as jnp
     import optax
+    from jax.sharding import PartitionSpec as P
 
     from pathtracker_tpu.data.prepare import prepare_batch
     from pathtracker_tpu.engine import model_step
@@ -119,6 +126,11 @@ def make_resident_train_step(model, model_name: str, optimizer,
 
     prep = dict(prepare_kwargs or {})
     steps_per_epoch = max(n_clips // batch_size, 1)
+    n_dev = len(mesh.devices.ravel()) if mesh is not None else 1
+    assert batch_size % n_dev == 0 and n_clips % n_dev == 0, (
+        "resident sharding needs batch and dataset divisible by the mesh")
+    n_local = n_clips // n_dev
+    b_local = batch_size // n_dev
 
     _KEYS = ("loss", "scaled_loss", "jvpen", "balacc", "precision", "recall",
              "f1score")
@@ -132,15 +144,37 @@ def make_resident_train_step(model, model_name: str, optimizer,
         total = loss + jv * 1e1 if penalty else loss
         return total, (loss, jv, output)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def _step(params, opt_state, data, labels, step_idx):
+    def _gather_local(data, labels, step_idx, dev, b):
+        """Per-shard epoch permutation + slot gather over a local slice."""
         epoch = step_idx // steps_per_epoch
         slot = step_idx % steps_per_epoch
-        perm = jax.random.permutation(
-            jax.random.fold_in(jax.random.key(seed), epoch), n_clips)
-        idx = jax.lax.dynamic_slice_in_dim(perm, slot * batch_size, batch_size)
-        raw_imgs = jnp.take(data, idx, axis=0)
-        raw_labels = jnp.take(labels, idx, axis=0)
+        n = data.shape[0]
+        key = jax.random.fold_in(jax.random.fold_in(
+            jax.random.key(seed), epoch), dev)
+        perm = jax.random.permutation(key, n)
+        # Batches tile the local permutation; wrap via mod so a
+        # steps_per_epoch derived from the GLOBAL batch count stays valid.
+        idx = (slot * b + jnp.arange(b)) % n
+        idx = jnp.take(perm, idx, axis=0)
+        return jnp.take(data, idx, axis=0), jnp.take(labels, idx, axis=0)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _step(params, opt_state, data, labels, step_idx):
+        if mesh is None:
+            raw_imgs, raw_labels = _gather_local(data, labels, step_idx, 0,
+                                                 batch_size)
+        else:
+            from jax.experimental.shard_map import shard_map
+
+            def local(d, l, si):
+                dev = jax.lax.axis_index("data")
+                return _gather_local(d, l, si[0], dev, b_local)
+
+            raw_imgs, raw_labels = shard_map(
+                local, mesh=mesh,
+                in_specs=(P("data"), P("data"), P()),
+                out_specs=(P("data"), P("data")))(
+                    data, labels, jnp.reshape(step_idx, (1,)))
         rng = jax.random.fold_in(jax.random.key(seed + 1), step_idx)
         (total, (loss, jv, output)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, raw_imgs, raw_labels, rng)

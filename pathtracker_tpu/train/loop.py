@@ -128,10 +128,6 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         synth_train=args.synth_train, synth_test=args.synth_test)
 
     device_data = getattr(args, "device_data", False)
-    if device_data and args.parallel:
-        raise NotImplementedError(
-            "--device-data currently targets single-chip runs; shard the "
-            "resident arrays over the mesh before combining with --parallel")
     if device_data:
         from pathtracker_tpu.data.resident import load_resident
 
@@ -171,6 +167,19 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     if args.parallel:
         mesh = mesh_lib.make_mesh()
         params = mesh_lib.replicate_tree(mesh, params)
+        if device_data:
+            # Resident shards live distributed over the data axis; the step
+            # gathers per device via shard_map. Trim to a device multiple.
+            n_dev = len(jax.devices())
+            keep = (len_train_loader // n_dev) * n_dev
+            train_clips, train_labels = train_clips[:keep], train_labels[:keep]
+            len_train_loader = keep
+            sh = mesh_lib.batch_sharding(mesh)
+            train_clips = jax.device_put(train_clips, sh)
+            train_labels = jax.device_put(train_labels, sh)
+            vkeep = (len_val_loader // n_dev) * n_dev
+            val_loader.clips = jax.device_put(val_loader.clips[:vkeep], sh)
+            val_loader.labels = jax.device_put(val_loader.labels[:vkeep], sh)
         print("Loading parallel finished on device count:", len(jax.devices()))
     else:
         print("Loading finished")
@@ -208,7 +217,7 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         train_step = make_resident_train_step(
             model, args.model, optimizer, n_clips=len_train_loader,
             batch_size=args.batch_size, penalty=args.penalty,
-            prepare_kwargs=prep, seed=args.seed)
+            prepare_kwargs=prep, seed=args.seed, mesh=mesh)
     else:
         train_step = make_train_step(model, args.model, optimizer,
                                      penalty=args.penalty, prepare_kwargs=prep,

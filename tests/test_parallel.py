@@ -149,3 +149,33 @@ def test_entry_compiles():
     fn, (params, x) = __graft_entry__.entry()
     out = jax.jit(fn)(params, x)
     assert out.shape == (x.shape[0], 1)
+
+
+def test_resident_sharded_training_step(mesh8):
+    """--device-data + --parallel: dataset sharded over the data axis, the
+    step gathers per device via shard_map; loss finite and params updated."""
+    from pathtracker_tpu.data.resident import make_resident_train_step
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer
+
+    rng = np.random.default_rng(3)
+    clips = rng.integers(0, 255, size=(16, 4, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(16,), dtype=np.uint8)
+    model = InT(dimensions=8, timesteps=4, kernel_size=3)
+    sample = jnp.zeros((8, 3, 4, 16, 16), jnp.float32)
+    params = mesh_lib.replicate_tree(
+        mesh8, model.init(jax.random.key(0), sample)["params"])
+    opt = make_optimizer(1e-3)
+    opt_state = mesh_lib.replicate_tree(mesh8, opt.init(jax.device_get(params)))
+    sh = mesh_lib.batch_sharding(mesh8)
+    dc, dl = jax.device_put(clips, sh), jax.device_put(labels, sh)
+    step = make_resident_train_step(model, "InT", opt, n_clips=16,
+                                    batch_size=8, seed=0, mesh=mesh8)
+    p0 = jax.device_get(params)
+    for _ in range(2):
+        params, opt_state, stats = step(params, opt_state, dc, dl)
+        assert np.isfinite(stats["loss"])
+    moved = any(
+        not np.allclose(a, b) for a, b in zip(
+            jax.tree.leaves(p0), jax.tree.leaves(jax.device_get(params))))
+    assert moved
