@@ -45,12 +45,16 @@ def dense(x, kernel, bias=None, mxu_dtype=None):
     result — activations/state stay f32 so small recurrent updates survive
     (pure-bf16 carries stall training on the plateau; see BASELINE.md)."""
     if mxu_dtype is not None and x.dtype == jnp.float32:
-        # bf16 inputs with an f32 preferred output: single MXU pass, true f32
-        # accumulation, no bf16 rounding of the result (dot_general's
-        # transpose rules handle this; conv's do not — see conv2d).
+        # bf16 in, bf16 out, upcast after: the MXU accumulates in f32
+        # internally, and the result takes ONE rounding to bf16. Producing an
+        # f32 output directly (preferred_element_type) is numerically purer
+        # but doubles the matmul-output bandwidth — measured 11% slower on
+        # the InT step for no training benefit: the rounded values feed gate
+        # sigmoids, and the f32 that actually matters (the recurrent state
+        # accumulation) lives outside the contraction (BASELINE.md).
         y = lax.dot_general(x.astype(mxu_dtype), kernel.astype(mxu_dtype),
-                            (((x.ndim - 1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            (((x.ndim - 1,), (0,)), ((), ()))
+                            ).astype(jnp.float32)
     else:
         y = lax.dot_general(x, kernel.astype(x.dtype),
                             (((x.ndim - 1,), (0,)), ((), ())),
