@@ -57,3 +57,11 @@ def test_custom_vjp_matches_autodiff():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_matches_xla_dilated():
+    f1, f2 = _inputs(b=1, h=12, w=12, c=4, seed=2)
+    want = np.asarray(correlation_xla(f1, f2, patch=5, dilation=2))
+    got = np.asarray(correlation_pallas(f1, f2, patch=5, dilation=2,
+                                        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
