@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Same-host head-to-head: the reference's torch InT vs this framework.
+
+The reference publishes no performance numbers (BASELINE.json "published": {}),
+so this harness produces a directly comparable pair on identical hardware
+(CPU, same process count): full train step — forward + BCEWithLogits +
+backward + Adam — on the canonical InT circuit (dimensions=32, kernel=7),
+reference code vs pathtracker_tpu's jitted step.
+
+The reference snapshot cannot run unmodified (SURVEY.md header): models/InT.py
+calls `super(hConvGRUCell, self)` / `super(FFhGRU, self)` with names undefined
+in the module (InT.py:64,:187) and hardcodes `.cuda()` on the jv_penalty
+placeholder (InT.py:243). This harness patches exactly those accidents at
+runtime — aliasing the undefined names to the classes they were copy-pasted
+from and making `.cuda()` a no-op on a CPU host — and nothing else.
+
+Usage:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python bench_cpu_vs_reference.py
+Prints one JSON line with both clips/sec numbers and the speedup ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+T = int(os.environ.get("BENCH_T", 16))
+ITERS = int(os.environ.get("BENCH_ITERS", 3))
+
+
+def measure_reference() -> float:
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU host
+    from models import InT as ref_int
+
+    # Alias the stale copy-paste names to their intended classes so the
+    # snapshot's __init__ methods resolve (reference InT.py:64,:187).
+    ref_int.hConvGRUCell = ref_int.rCell
+    ref_int.FFhGRU = ref_int.InT
+
+    torch.manual_seed(0)
+    model = ref_int.InT(dimensions=32, timesteps=T, kernel_size=7,
+                        jacobian_penalty=False, grad_method="bptt")
+    model.train()
+    criterion = torch.nn.BCEWithLogitsLoss()
+    optimizer = torch.optim.Adam(model.parameters(), lr=3e-4)
+
+    rng = np.random.default_rng(0)
+    imgs = torch.from_numpy(
+        rng.integers(0, 255, size=(BATCH, 3, T, 32, 32)).astype(np.float32) / 255.0)
+    target = torch.from_numpy(
+        rng.integers(0, 2, size=(BATCH, 1)).astype(np.float32))
+
+    def step():
+        output, jv = model.forward(imgs)
+        loss = criterion(output, target)
+        loss.backward()
+        optimizer.step()
+        optimizer.zero_grad()
+        return float(loss)
+
+    step()  # warmup
+    lat = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        step()
+        lat.append(time.perf_counter() - t0)
+    return BATCH / float(np.median(lat))
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
+
+    model = InT(dimensions=32, timesteps=T, kernel_size=7)
+    sample = jnp.zeros((BATCH, 3, T, 32, 32), jnp.float32)
+    params = model.init(jax.random.key(0), sample)["params"]
+    optimizer = make_optimizer(3e-4)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model, "InT", optimizer)
+
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(rng.integers(0, 255, size=(BATCH, T, 32, 32, 3),
+                                       dtype=np.uint8))
+    labels = jax.device_put(rng.integers(0, 2, size=(BATCH,), dtype=np.uint8))
+
+    params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+    float(stats["loss"])  # compile + warmup
+    lat = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+        float(stats["loss"])
+        lat.append(time.perf_counter() - t0)
+    return BATCH / float(np.median(lat))
+
+
+def main():
+    assert os.environ.get("JAX_PLATFORMS") == "cpu", \
+        "run with PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu for a fair CPU pair"
+    ours = measure_ours()
+    ref = measure_reference()
+    print(json.dumps({
+        "metric": f"InT fwd+bwd clips/sec, CPU head-to-head (batch {BATCH}, T {T})",
+        "reference_torch_clips_per_sec": round(ref, 2),
+        "pathtracker_tpu_clips_per_sec": round(ours, 2),
+        "speedup": round(ours / ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

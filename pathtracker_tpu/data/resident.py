@@ -164,7 +164,7 @@ def make_resident_train_step(model, model_name: str, optimizer,
             raw_imgs, raw_labels = _gather_local(data, labels, step_idx, 0,
                                                  batch_size)
         else:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
 
             def local(d, l, si):
                 dev = jax.lax.axis_index("data")

@@ -89,6 +89,32 @@ class _TSMBottleneck(nn.Module):
         return out.reshape(b, t, out.shape[1], out.shape[2], cout)
 
 
+class _TSMBasicBlock(nn.Module):
+    """ResNet basic block (two 3x3 convs, expansion 1) with temporal shift —
+    the block used by the reference's resnet18/34 builders
+    (resnet_TSM.py:73-104,:448-484)."""
+
+    cin: int
+    planes: int
+    stride: int = 1
+    shift: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        shifted = tsm(x) if self.shift else x
+        flat = shifted.reshape(b * t, h, w, c)
+        y = _ConvBN(c, self.planes, 3, stride=self.stride, name="conv1")(flat)
+        y = _ConvBN(self.planes, self.planes, 3, relu=False, name="conv2")(y)
+        if self.stride != 1 or c != self.planes:
+            res = _ConvBN(c, self.planes, 1, stride=self.stride, relu=False,
+                          name="down")(x.reshape(b * t, h, w, c))
+        else:
+            res = x.reshape(b * t, h, w, c)
+        out = jax.nn.relu(y + res)
+        return out.reshape(b, t, out.shape[1], out.shape[2], self.planes)
+
+
 class _FlowRefinement(nn.Module):
     """Depthwise/pointwise conv stack 3 -> 16 -> 32 -> 64 -> out_channel,
     added residually (reference resnet_TSM.py:169-230)."""
@@ -141,6 +167,7 @@ class TSMResNet(nn.Module):
     flow_estimation: bool = True
     num_classes: int = 1
     patch: int = 15
+    block: str = "bottleneck"  # 'bottleneck' (r50/101) | 'basic' (r18/34)
 
     @nn.compact
     def __call__(self, x, testmode: bool = False):
@@ -154,11 +181,12 @@ class TSMResNet(nn.Module):
                                   [(0, 0), (1, 1), (1, 1), (0, 0)])
         y = y.reshape(b, t, h, w, 64)
 
+        block_cls = _TSMBottleneck if self.block == "bottleneck" else _TSMBasicBlock
         widths = [64, 128, 256, 512]
         for si, nblocks in enumerate(self.layers):
             for bi in range(nblocks):
-                y = _TSMBottleneck(y.shape[-1], widths[si], stride=1,
-                                   name=f"layer{si + 1}_{bi}")(y)
+                y = block_cls(y.shape[-1], widths[si], stride=1,
+                              name=f"layer{si + 1}_{bi}")(y)
             if si == 1 and self.flow_estimation:
                 y = self._motion_squeeze(y)
 
@@ -188,3 +216,27 @@ def resnet50_tsm(num_segments: int = 8, flow_estimation: bool = True,
     num_segments=8, flow_estimation=1)."""
     return TSMResNet(num_segments=num_segments, flow_estimation=flow_estimation,
                      **kwargs)
+
+
+def resnet18_tsm(num_segments: int = 8, flow_estimation: bool = True,
+                 pretrained: bool = False, **kwargs):
+    """reference resnet_TSM.py:448 — BasicBlock, [2,2,2,2]."""
+    return TSMResNet(layers=(2, 2, 2, 2), block="basic",
+                     num_segments=num_segments,
+                     flow_estimation=flow_estimation, **kwargs)
+
+
+def resnet34_tsm(num_segments: int = 8, flow_estimation: bool = True,
+                 pretrained: bool = False, **kwargs):
+    """reference resnet_TSM.py:467 — BasicBlock, [3,4,6,3]."""
+    return TSMResNet(layers=(3, 4, 6, 3), block="basic",
+                     num_segments=num_segments,
+                     flow_estimation=flow_estimation, **kwargs)
+
+
+def resnet101_tsm(num_segments: int = 8, flow_estimation: bool = True,
+                  pretrained: bool = False, **kwargs):
+    """reference resnet_TSM.py:505 — Bottleneck, [3,4,23,3]."""
+    return TSMResNet(layers=(3, 4, 23, 3), block="bottleneck",
+                     num_segments=num_segments,
+                     flow_estimation=flow_estimation, **kwargs)

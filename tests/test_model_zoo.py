@@ -129,6 +129,22 @@ def test_tsm_op_semantics():
     np.testing.assert_array_equal(y[..., 2:], np.asarray(x)[..., 2:])
 
 
+def test_tsm_depth_variants():
+    """The reference ships resnet18/34/50/101 TSM builders
+    (resnet_TSM.py:448-522); 18/34 use BasicBlock (expansion 1)."""
+    from pathtracker_tpu.models.tsm_resnet import resnet18_tsm, resnet101_tsm
+
+    x = jnp.zeros((2, 3, 4, 16, 16), jnp.float32)
+    m18 = resnet18_tsm(num_segments=4)
+    v = m18.init(jax.random.key(0), x)
+    assert m18.apply(v, x).shape == (2, 1)
+    # BasicBlock stages end at width 512 (no 4x expansion).
+    feat = v["params"]["fc1_kernel"]
+    assert feat.shape[0] == 512
+    m101 = resnet101_tsm(num_segments=4)
+    assert sum(m101.layers) == 33 and m101.block == "bottleneck"
+
+
 def test_chrono_matches_reference_distribution():
     """ops.initializers.chrono_gate_bias implements the chrono init the
     reference's models/chrono_initialization.py:6-26 describes."""
