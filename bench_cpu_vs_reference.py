@@ -16,6 +16,12 @@ from and making `.cuda()` a no-op on a CPU host — and nothing else.
 
 Usage:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python bench_cpu_vs_reference.py
 Prints one JSON line with both clips/sec numbers and the speedup ratio.
+
+CAVEAT (measured, see BASELINE.md "CPU backend note"): on this VM the
+XLA:CPU side is dominated by an allocation/page-fault artifact (~100x the
+op-level cost; per-op timings match torch within 1.2x), so the ratio says
+nothing about the framework's TPU performance — treat this harness as a
+parity/regression driver, not a benchmark.
 """
 
 from __future__ import annotations

@@ -59,7 +59,7 @@ def plot_results(states, imgs, target, output, timesteps, gates=None,
     plt.close(fig)
 
     if prep_gifs:
-        import imageio
+        import imageio.v2 as imageio
 
         assert isinstance(prep_gifs, int), \
             "prep_gifs is an integer that says how many gifs to prepare"

@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from pathtracker_tpu.models import common
 from pathtracker_tpu.ops import initializers as pt_init
-from pathtracker_tpu.ops.layers import conv2d, dense, softplus
+from pathtracker_tpu.ops.layers import conv2d, dense, scan_unroll, softplus
 
 
 class GRU(nn.Module):
@@ -84,7 +84,8 @@ class GRU(nn.Module):
         if self.remat:
             step = jax.checkpoint(step)
         zeros = jnp.zeros((b, h, w_, c), xbn.dtype)
-        state, ys = jax.lax.scan(step, zeros, xs)
+        state, ys = jax.lax.scan(step, zeros, xs,
+                                 unroll=scan_unroll(self.timesteps))
 
         logit = common.target_readout(ro, state, xc[:, 0, :, :, 2])
         if testmode:

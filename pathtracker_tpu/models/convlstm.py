@@ -31,7 +31,7 @@ from flax import linen as nn
 
 from pathtracker_tpu.ops import initializers as pt_init
 from pathtracker_tpu.ops.gabor import gabor_bank
-from pathtracker_tpu.ops.layers import batch_norm, conv2d, dense
+from pathtracker_tpu.ops.layers import batch_norm, conv2d, dense, scan_unroll
 from pathtracker_tpu.ops.penalty import jacobian_penalty
 from pathtracker_tpu.ops.rbp import neumann_rbp
 
@@ -131,7 +131,8 @@ class ConvLSTM(nn.Module):
             hs_prev = None
             if self.timesteps > 1:
                 prev, hs_prev = jax.lax.scan(unroll, prev, None,
-                                             length=self.timesteps - 1)
+                                             length=self.timesteps - 1,
+                                             unroll=scan_unroll(self.timesteps - 1))
             (h, cstate), last_h = unroll(prev, None)
             if testmode:
                 if hs_prev is not None:

@@ -40,8 +40,11 @@ class FFConvNet(nn.Module):
         xc = common.bcthw_to_bthwc(x)  # [B,T,H,W,3]
         w0 = self.param("conv0_kernel", pt_init.torch_conv_default, (7, 7, 7, 3, c))
         out = conv3d(xc, w0)
+        # reference BatchNorm3d keeps the torch default eps=1e-5 (FFnet.py:15;
+        # unlike the recurrent cells' eps=1e-03 BatchNorm2d, InT.py:102)
         out = batch_norm(out, self.param("bn0_scale", nn.initializers.ones, (c,)),
-                         self.param("bn0_bias", nn.initializers.zeros, (c,)))
+                         self.param("bn0_bias", nn.initializers.zeros, (c,)),
+                         eps=1e-5)
         for i in range(1, 7):
             wi = self.param(f"conv{i}_kernel", pt_init.torch_conv_default,
                             (k, k, k, c, c))
@@ -49,7 +52,8 @@ class FFConvNet(nn.Module):
             out = conv3d(out, wi, bi)
             out = batch_norm(out,
                              self.param(f"bn{i}_scale", nn.initializers.ones, (c,)),
-                             self.param(f"bn{i}_bias", nn.initializers.zeros, (c,)))
+                             self.param(f"bn{i}_bias", nn.initializers.zeros, (c,)),
+                             eps=1e-5)
             out = nn.relu(out)
         w7 = self.param("conv7_kernel", pt_init.torch_conv_default, (c, 2))
         b7 = self.param("conv7_bias", pt_init.torch_conv_bias(c), (2,))

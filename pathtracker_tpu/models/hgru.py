@@ -23,7 +23,8 @@ from flax import linen as nn
 
 from pathtracker_tpu.models import common
 from pathtracker_tpu.ops import initializers as pt_init
-from pathtracker_tpu.ops.layers import batch_norm, conv2d, dense, global_avg_pool, softplus
+from pathtracker_tpu.ops.layers import (batch_norm, conv2d, dense,
+                                         global_avg_pool, scan_unroll, softplus)
 
 
 class _HGRUBase(nn.Module):
@@ -137,7 +138,8 @@ class _HGRUBase(nn.Module):
         if self.remat:
             step = jax.checkpoint(step)
         zeros = jnp.zeros((b, h, w_, c), xbn.dtype)
-        (inh, exc), ys = jax.lax.scan(step, (zeros, zeros), xs)
+        (inh, exc), ys = jax.lax.scan(step, (zeros, zeros), xs,
+                                      unroll=scan_unroll(xs[0].shape[0]))
         return inh, exc, ys
 
 

@@ -47,6 +47,7 @@ from jax.ad_checkpoint import checkpoint_name as _ckpt_name
 
 from pathtracker_tpu.models import common
 from pathtracker_tpu.ops import initializers as pt_init
+from pathtracker_tpu.ops import layers as pt_layers
 from pathtracker_tpu.ops.layers import batch_norm, conv2d, dense, softplus
 
 
@@ -263,7 +264,9 @@ class InT(nn.Module):
             inh, exc = neumann_rbp(rbp_step, (cp, x_last), carry, 15)
             ys = None
         else:
-            (inh, exc), ys = jax.lax.scan(step, (zeros, zeros), xs)
+            (inh, exc), ys = jax.lax.scan(
+                step, (zeros, zeros), xs,
+                unroll=pt_layers.scan_unroll(self.timesteps))
 
         target_frame = xc[:, 0, :, :, 2]  # blue channel of frame 0
         logit = common.target_readout(ro, exc, target_frame).astype(jnp.float32)

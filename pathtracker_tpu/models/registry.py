@@ -35,6 +35,20 @@ def model_selector(model_name: str, timesteps: int, fb_kernel_size: int = 7,
     """Build the model for a reference `--model` name."""
     from pathtracker_tpu.models import int_circuit
 
+    if pretrained:
+        # The reference downloaded Kinetics/ImageNet torchvision weights
+        # (reference nostridetv.py:12-16, resnet_TSM.py model_urls); this
+        # environment has no network egress and torch checkpoints don't map
+        # onto these re-designed trunks. --pretrained still selects the
+        # ImageNet-video normalization in prepare_data (reference
+        # utils/engine.py:244-247); weights start from init.
+        import warnings
+        warnings.warn(
+            "--pretrained: no pretrained weights are available offline; "
+            "using the pretrained input normalization only. Load weights "
+            "explicitly with --ckpt if you have a converted checkpoint.",
+            stacklevel=2)
+
     if model_name == "InT":
         return int_circuit.InT(dimensions=dimensions, timesteps=timesteps,
                                kernel_size=fb_kernel_size, **kwargs)

@@ -211,8 +211,11 @@ class PerformerModel(nn.Module):
         inner = self.heads * dh
         # Fixed orthogonal random features (the reference redraws every 1000
         # steps; a fixed draw is the deterministic-inference equivalent).
+        # Stacked d x d Haar blocks with unit-norm rows — see
+        # pt_init.favor_orthogonal_features for why plain orthogonal rows
+        # degenerate when n_features > dim_head.
         proj = self.param("favor_proj",
-                          lambda key, shape: pt_init._orthogonal_rows(
+                          lambda key, shape: pt_init.favor_orthogonal_features(
                               key, shape[0], shape[1], jnp.float32),
                           (self.n_features, dh))
         proj = jax.lax.stop_gradient(proj) * np.sqrt(dh)

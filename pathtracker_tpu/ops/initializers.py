@@ -61,6 +61,20 @@ def _orthogonal_rows(key, rows, cols, dtype):
     return q
 
 
+def favor_orthogonal_features(key, n_features, dim, dtype=jnp.float32):
+    """FAVOR+ random-feature matrix [n_features, dim]: ceil(m/d) independent
+    Haar d x d blocks stacked, every row unit-norm (performer-pytorch's
+    gaussian_orthogonal_random_matrix). NOT _orthogonal_rows: for m > d that
+    returns orthonormal COLUMNS, whose m rows have norm ~ sqrt(d/m) — the
+    projections then collapse toward exp(0) and attention washes out to
+    uniform. The caller scales rows by sqrt(d) (fixed-norm 'scaling=1')."""
+    n_blocks = -(-n_features // dim)
+    blocks = [
+        _orthogonal_rows(jax.random.fold_in(key, i), dim, dim, dtype)
+        for i in range(n_blocks)]
+    return jnp.concatenate(blocks, axis=0)[:n_features]
+
+
 def torch_orthogonal_matrix(key, shape, dtype=jnp.float32):
     """[Cin, Cout] kernel equal (in distribution) to torch orthogonal_ on the
     [O, I] conv weight, transposed into matmul layout."""

@@ -23,6 +23,24 @@ from jax import lax
 PRECISION = lax.Precision.HIGHEST
 
 
+def scan_unroll(length: int, cap: int = 16) -> int:
+    """Unroll factor for recurrent scans whose step contains convolutions.
+
+    XLA:CPU executes conv VJPs inside a while-loop backward ~100x slower than
+    the same HLOs outside the loop (measured: a bare 16-step 7x7-conv scan
+    runs fwd in 0.14 s but grad in 22.8 s; fully unrolled, grad is 0.41 s —
+    partial unroll does not help, only removing the loop does). CPU is only
+    the test/dev backend here, so fully unroll short scans there; past `cap`
+    steps the unrolled-grad HLO itself becomes the bottleneck (a 64-step InT
+    attribution grad compiled for >9 min at 14 GB RSS before being killed),
+    so long scans keep the rolled loop and eat the slow backward. On TPU
+    always keep the rolled scan (the backward is conv-bound, not loop-bound,
+    and unrolling only bloats compile time)."""
+    if jax.default_backend() != "cpu":
+        return 1
+    return length if length <= cap else 1
+
+
 def _precision_for(x):
     return PRECISION if x.dtype == jnp.float32 else lax.Precision.DEFAULT
 

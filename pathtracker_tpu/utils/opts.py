@@ -28,7 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     # learning configs
     parser.add_argument("--epochs", default=30, type=int, metavar="N")
-    parser.add_argument("-b", "--batch-size", default=256, type=int, metavar="N")
+    # "--b" is the spelling the reference's viz_InT.sh used (a flag absent
+    # from its opts.py); an explicit alias also keeps it unambiguous vs
+    # --bf16 under argparse prefix matching.
+    parser.add_argument("-b", "--batch-size", "--b", default=256, type=int,
+                        metavar="N")
     parser.add_argument("--lr", "--learning-rate", default=3e-4, type=float,
                         metavar="LR", dest="lr")
     parser.add_argument("--lr_steps", default=[20, 40], type=float, nargs="+",

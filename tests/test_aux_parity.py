@@ -145,3 +145,39 @@ def test_vit_forward():
     out = model.apply(variables, img)
     assert out.shape == (2, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_plot_results_panels_and_gifs(tmp_path):
+    """plot_results writes the panel pdf and per-clip GIFs (reference
+    utils/engine.py:272-340: Img/Attn/Activity panels + imageio GIF writer)."""
+    from pathtracker_tpu.eval.plots import plot_results
+
+    rng = np.random.default_rng(0)
+    b, t, c, h, w = 2, 8, 4, 8, 8
+    states = rng.normal(0, 1, (b, t, 1, h, w)).astype(np.float32)
+    gates = rng.normal(0, 1, (b, t, c, h, w)).astype(np.float32)
+    imgs = rng.uniform(0, 1, (b, 3, t, h, w)).astype(np.float32)
+    target = np.array([1.0, 0.0])
+    output = np.array([2.0, -1.0])
+    plot_results(states, imgs, target, output, timesteps=t, gates=gates,
+                 prep_gifs=1, results_folder=str(tmp_path))
+    assert (tmp_path / "random_selection.pdf").exists()
+    gif = tmp_path / "gif_0" / "0.gif"
+    assert gif.exists() and gif.stat().st_size > 0
+    # frame pngs are cleaned up after the gif is assembled
+    assert not list((tmp_path / "gif_0").glob("*.png"))
+
+
+def test_opts_reference_flag_surface():
+    """Reference flags parse, including the launcher-only spellings the
+    reference never defined (--b in viz_InT.sh, --which_tests, --set_name)."""
+    from pathtracker_tpu.utils.opts import build_parser
+
+    args = build_parser().parse_args(
+        "--model InT --name x --length 64 --speed 1 --dist 14 -b 180 "
+        "--parallel --lr 3e-04 --epochs 2000".split())
+    assert args.batch_size == 180 and args.parallel and args.lr == 3e-4
+    # --b must stay unambiguous against --bf16 (argparse prefix matching)
+    assert build_parser().parse_args(["--b=40"]).batch_size == 40
+    assert build_parser().parse_args(
+        ["--which_tests=64", "--set_name=gen_1_25_64"]).set_name == "gen_1_25_64"
