@@ -181,9 +181,59 @@ bool ParseExample(Span payload, Span* image, uint8_t* label) {
   return image->data != nullptr;
 }
 
+// --- CRC32C (Castagnoli), slice-by-8 -------------------------------------
+// Used by the Python TFRecord *writer* (pathtracker_tpu/data/tfrecord.py):
+// the per-record masked CRCs dominate write time in pure Python (~97 ms per
+// 98 KB clip record, measured); this table-driven form runs ~1 GB/s.
+
+uint32_t g_crc_tables[8][256];
+std::once_flag g_crc_once;
+
+void InitCrcTables() {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t crc = i;
+    for (int k = 0; k < 8; ++k) {
+      crc = (crc >> 1) ^ ((crc & 1) ? 0x82F63B78u : 0);
+    }
+    g_crc_tables[0][i] = crc;
+  }
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t crc = g_crc_tables[0][i];
+    for (int t = 1; t < 8; ++t) {
+      crc = (crc >> 8) ^ g_crc_tables[0][crc & 0xFF];
+      g_crc_tables[t][i] = crc;
+    }
+  }
+}
+
+uint32_t Crc32c(const uint8_t* data, size_t n) {
+  std::call_once(g_crc_once, InitCrcTables);
+  uint32_t crc = 0xFFFFFFFFu;
+  size_t pos = 0;
+  while (pos + 8 <= n) {
+    uint32_t lo, hi;
+    std::memcpy(&lo, data + pos, 4);
+    std::memcpy(&hi, data + pos + 4, 4);
+    lo ^= crc;
+    crc = g_crc_tables[7][lo & 0xFF] ^ g_crc_tables[6][(lo >> 8) & 0xFF] ^
+          g_crc_tables[5][(lo >> 16) & 0xFF] ^ g_crc_tables[4][lo >> 24] ^
+          g_crc_tables[3][hi & 0xFF] ^ g_crc_tables[2][(hi >> 8) & 0xFF] ^
+          g_crc_tables[1][(hi >> 16) & 0xFF] ^ g_crc_tables[0][hi >> 24];
+    pos += 8;
+  }
+  for (; pos < n; ++pos) {
+    crc = (crc >> 8) ^ g_crc_tables[0][(crc ^ data[pos]) & 0xFF];
+  }
+  return crc ^ 0xFFFFFFFFu;
+}
+
 }  // namespace
 
 extern "C" {
+
+unsigned int ptdata_crc32c(const unsigned char* data, long n) {
+  return Crc32c(data, static_cast<size_t>(n));
+}
 
 void* ptdata_read_file(const char* path, int clip_bytes) {
   FILE* f = std::fopen(path, "rb");

@@ -50,6 +50,11 @@ def _load():
                 lib.ptdata_labels_ptr.restype = ctypes.c_void_p
                 lib.ptdata_labels_ptr.argtypes = [ctypes.c_void_p]
                 lib.ptdata_free.argtypes = [ctypes.c_void_p]
+                if hasattr(lib, "ptdata_crc32c"):
+                    # Added after the first .so builds; guard so a stale
+                    # library still loads for the reader path.
+                    lib.ptdata_crc32c.restype = ctypes.c_uint
+                    lib.ptdata_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_long]
                 _LIB = lib
                 break
             except OSError:
@@ -59,6 +64,14 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def crc32c(data: bytes):
+    """CRC32C via the native library, or None if it is not built / too old."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ptdata_crc32c"):
+        return None
+    return int(lib.ptdata_crc32c(data, len(data)))
 
 
 class ShardView:

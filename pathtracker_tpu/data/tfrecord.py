@@ -47,13 +47,22 @@ def _make_crc32c_table() -> np.ndarray:
 _CRC_TABLE = _make_crc32c_table()
 
 
-def crc32c(data: bytes) -> int:
-    """CRC32C of `data` (pure Python; fine for tests, native path for bulk IO)."""
+def _crc32c_py(data: bytes) -> int:
     crc = 0xFFFFFFFF
     table = _CRC_TABLE
     for b in data:
         crc = (crc >> 8) ^ int(table[(crc ^ b) & 0xFF])
     return crc ^ 0xFFFFFFFF
+
+
+def crc32c(data: bytes) -> int:
+    """CRC32C of `data` — native C++ when built (~1 GB/s; the per-record
+    checksums dominate TFRecord *writing*, measured 97 ms/clip pure-Python),
+    table-driven Python fallback otherwise."""
+    from pathtracker_tpu.data import native
+
+    crc = native.crc32c(data)
+    return crc if crc is not None else _crc32c_py(data)
 
 
 def masked_crc32c(data: bytes) -> int:
