@@ -69,7 +69,7 @@ def measure_reference() -> float:
         loss.backward()
         optimizer.step()
         optimizer.zero_grad()
-        return float(loss)
+        return float(loss.detach())
 
     step()  # warmup
     lat = []
@@ -81,38 +81,20 @@ def measure_reference() -> float:
 
 
 def measure_ours() -> float:
-    import jax
-    import jax.numpy as jnp
+    # One timing harness for both benchmarks: bench.measure is the same
+    # jitted-train-step protocol the TPU headline uses (warmup, p50 over
+    # host-fetched steps), run here on the f32 parity path.
+    from bench import measure
 
-    from pathtracker_tpu.models.int_circuit import InT
-    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
-
-    model = InT(dimensions=32, timesteps=T, kernel_size=7)
-    sample = jnp.zeros((BATCH, 3, T, 32, 32), jnp.float32)
-    params = model.init(jax.random.key(0), sample)["params"]
-    optimizer = make_optimizer(3e-4)
-    opt_state = optimizer.init(params)
-    train_step = make_train_step(model, "InT", optimizer)
-
-    rng = np.random.default_rng(0)
-    imgs = jax.device_put(rng.integers(0, 255, size=(BATCH, T, 32, 32, 3),
-                                       dtype=np.uint8))
-    labels = jax.device_put(rng.integers(0, 2, size=(BATCH,), dtype=np.uint8))
-
-    params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-    float(stats["loss"])  # compile + warmup
-    lat = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-        float(stats["loss"])
-        lat.append(time.perf_counter() - t0)
-    return BATCH / float(np.median(lat))
+    res = measure(batch=BATCH, timesteps=T, iters=ITERS, warmup=1, bf16=False)
+    return float(res["clips_per_sec"])
 
 
 def main():
-    assert os.environ.get("JAX_PLATFORMS") == "cpu", \
-        "run with PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu for a fair CPU pair"
+    assert (os.environ.get("JAX_PLATFORMS") == "cpu"
+            and not os.environ.get("PALLAS_AXON_POOL_IPS")), \
+        "run with PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu for a fair CPU " \
+        "pair (JAX_PLATFORMS alone does not stop the axon TPU plugin)"
     ours = measure_ours()
     ref = measure_reference()
     print(json.dumps({

@@ -47,8 +47,8 @@ from jax.ad_checkpoint import checkpoint_name as _ckpt_name
 
 from pathtracker_tpu.models import common
 from pathtracker_tpu.ops import initializers as pt_init
-from pathtracker_tpu.ops import layers as pt_layers
-from pathtracker_tpu.ops.layers import batch_norm, conv2d, dense, softplus
+from pathtracker_tpu.ops.layers import (batch_norm, conv2d, dense,
+                                        scan_unroll, softplus)
 
 
 def _nl(name: str):
@@ -266,7 +266,7 @@ class InT(nn.Module):
         else:
             (inh, exc), ys = jax.lax.scan(
                 step, (zeros, zeros), xs,
-                unroll=pt_layers.scan_unroll(self.timesteps))
+                unroll=scan_unroll(self.timesteps))
 
         target_frame = xc[:, 0, :, :, 2]  # blue channel of frame 0
         logit = common.target_readout(ro, exc, target_frame).astype(jnp.float32)
