@@ -34,7 +34,20 @@ def save_checkpoint(path: str, params, epoch: int = 0, acc: float = 0.0,
     os.replace(tmp, path)
 
 
+def _is_torch_pickle(path: str) -> bool:
+    """Reference .pth.tar files are torch pickles: a zip archive (new format,
+    'PK\\x03\\x04') or a bare pickle stream (legacy, protocol marker 0x80).
+    msgpack never starts with either byte sequence for a map payload."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    return head[:4] == b"PK\x03\x04" or (len(head) > 0 and head[0] == 0x80)
+
+
 def load_checkpoint(path: str) -> dict:
+    if _is_torch_pickle(path):
+        from pathtracker_tpu.train.torch_import import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 
@@ -42,9 +55,23 @@ def load_checkpoint(path: str) -> dict:
 def load_params(path: str, template=None, strict: bool = True):
     """Restore params from a checkpoint; with a template pytree, missing keys
     keep template values when strict=False (the reference viz script wanted
-    load_ckpt(..., strict=False), reference viz_model_att.py:172)."""
+    load_ckpt(..., strict=False), reference viz_model_att.py:172).
+
+    Reference torch checkpoints (.pth.tar, raw state_dict or
+    {'state_dict': ...}, with or without DataParallel's 'module.' prefix)
+    are detected by file magic and imported via train/torch_import.py —
+    a reference user's trained InT/hgru/gru artifacts load directly."""
     state = load_checkpoint(path)
     params = state["state_dict"] if "state_dict" in state else state
+    from pathtracker_tpu.train import torch_import
+
+    if torch_import.looks_like_torch_state_dict(params):
+        if template is None:
+            raise ValueError(
+                "a reference torch checkpoint needs a parameter template to "
+                "import into; load through engine.load_ckpt/init_model")
+        return torch_import.import_reference_state_dict(
+            params, template, strict=strict)
     if template is None:
         return params
     if strict:

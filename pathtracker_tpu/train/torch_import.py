@@ -1,0 +1,148 @@
+"""Import reference PyTorch checkpoints into pathtracker_tpu parameter trees.
+
+A reference user's trained artifacts are torch-pickle files
+(`saved_models/model_val_acc_%04d_epoch_%02d_checkpoint.pth.tar`) holding
+either a raw `state_dict` (reference utils/earlystopping.py:50-56) or a
+`{'state_dict': ...}` wrapper (reference utils/misc_functions.py:72-80),
+possibly with DataParallel's `module.` prefix. This module maps those onto
+this framework's parameter trees so existing checkpoints keep working after
+migration.
+
+Covered: the reference-native recurrent family whose parameters this
+framework deliberately names after the reference `state_dict` keys — InT and
+its lesion variants, FFhGRU/FFhGRU_v2 (`hgru`/`hgru_v2`), ConvGRU (`gru`) —
+i.e. exactly the models the reference's own `model_selector` could train and
+checkpoint with `train_InT.sh`-style runs. Other families raise with the
+list of unmapped keys.
+
+Name mapping (reference -> here), verified against reference models/InT.py
+and models/ffhgru_hierarchy.py / models/kys.py:
+
+    preproc.weight               -> preproc_kernel      [C,3,1,1,1] -> [3,C]
+    unit1.<gate>.weight          -> <gate>_kernel       [C,C,1,1]   -> [C,C]^T
+    unit1.<gate>.bias            -> <gate>_bias
+    unit1.conv_<g>.weight        -> conv_<g>_kernel     OIHW -> HWIO
+    unit1.w_inh / w_exc          -> w_inh / w_exc       OIHW -> HWIO
+    unit1.{alpha,mu,gamma,kappa,w} -> same              [C,1,1] -> [C]
+    unit1.bn.<i>.{weight,bias}   -> bn<i>_{scale,bias}
+    readout_conv.weight          -> readout_conv_kernel [1,C,1,1] -> [C,1]
+    target_conv.weight           -> target_conv_kernel  OIHW -> HWIO
+    readout_dense.weight         -> readout_dense_kernel [out,in] -> [in,out]
+
+Layout transforms are derived from (source shape, template shape), so the
+same rules cover every conv/dense in the family.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# Reference modules that exist in checkpoints but are unused by the
+# reference's own forward pass (e.g. FFhGRU's wrapper-level BatchNorm3d
+# `self.bn`, reference ffhgru_hierarchy.py:186 — defined, never called).
+# They have no counterpart here; drop them silently.
+_UNUSED_REFERENCE_KEYS = re.compile(r"^bn\.(weight|bias)$")
+
+_NAME_RULES = [
+    (re.compile(r"^preproc\.weight$"), lambda m: "preproc_kernel"),
+    (re.compile(r"^preproc\.bias$"), lambda m: "preproc_bias"),
+    (re.compile(r"^unit1\.bn\.(\d+)\.weight$"), lambda m: f"bn{m.group(1)}_scale"),
+    (re.compile(r"^unit1\.bn\.(\d+)\.bias$"), lambda m: f"bn{m.group(1)}_bias"),
+    (re.compile(r"^unit1\.([A-Za-z_0-9]+)\.weight$"), lambda m: f"{m.group(1)}_kernel"),
+    (re.compile(r"^unit1\.([A-Za-z_0-9]+)\.bias$"), lambda m: f"{m.group(1)}_bias"),
+    (re.compile(r"^unit1\.([A-Za-z_0-9]+)$"), lambda m: m.group(1)),
+    (re.compile(r"^readout_conv\.weight$"), lambda m: "readout_conv_kernel"),
+    (re.compile(r"^readout_conv\.bias$"), lambda m: "readout_conv_bias"),
+    (re.compile(r"^target_conv\.weight$"), lambda m: "target_conv_kernel"),
+    (re.compile(r"^target_conv\.bias$"), lambda m: "target_conv_bias"),
+    (re.compile(r"^readout_dense\.weight$"), lambda m: "readout_dense_kernel"),
+    (re.compile(r"^readout_dense\.bias$"), lambda m: "readout_dense_bias"),
+]
+
+
+def _map_name(key: str) -> str | None:
+    for pattern, fn in _NAME_RULES:
+        m = pattern.match(key)
+        if m:
+            return fn(m)
+    return None
+
+
+def _to_layout(value: np.ndarray, target_shape: tuple) -> np.ndarray:
+    """Convert a torch-layout tensor to this framework's layout, inferred
+    from the two shapes."""
+    src = value
+    if src.ndim == 5 and len(target_shape) == 2:
+        # Conv3d 1x1x1 [O,I,1,1,1] -> matmul [I,O]
+        src = src[:, :, 0, 0, 0].T
+    elif src.ndim == 4 and len(target_shape) == 2:
+        # Conv2d 1x1 [O,I,1,1] -> matmul [I,O]
+        src = src[:, :, 0, 0].T
+    elif src.ndim == 4 and len(target_shape) == 4:
+        # OIHW -> HWIO
+        src = src.transpose(2, 3, 1, 0)
+    elif src.ndim == 3 and len(target_shape) == 1:
+        # per-channel scalars [C,1,1] -> [C]
+        src = src.reshape(-1)
+    elif src.ndim == 2 and len(target_shape) == 2:
+        # torch Linear [out,in] -> [in,out]
+        src = src.T
+    if tuple(src.shape) != tuple(target_shape):
+        raise ValueError(
+            f"cannot map torch tensor of shape {tuple(value.shape)} onto "
+            f"parameter of shape {tuple(target_shape)}")
+    return np.ascontiguousarray(src)
+
+
+def looks_like_torch_state_dict(params) -> bool:
+    """Heuristic: reference state_dicts use dotted module paths."""
+    return isinstance(params, dict) and any(
+        isinstance(k, str) and "." in k for k in params)
+
+
+def import_reference_state_dict(state_dict: dict, template: dict,
+                                strict: bool = True) -> dict:
+    """Map a reference torch `state_dict` onto `template` (a flat
+    {name: array} params dict as produced by the recurrent family's init).
+
+    strict=True requires every template parameter to be filled; strict=False
+    keeps template values for absent keys (the reference viz script's
+    load_ckpt(strict=False) semantics).
+    """
+    out = dict(template)
+    filled = set()
+    unmapped = []
+    for key, value in state_dict.items():
+        if key.startswith("module."):  # DataParallel prefix
+            key = key[len("module."):]
+        if _UNUSED_REFERENCE_KEYS.match(key):
+            continue
+        name = _map_name(key)
+        if name is None or name not in template:
+            unmapped.append(key)
+            continue
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value,
+            dtype=np.float32)
+        out[name] = _to_layout(arr, np.shape(template[name]))
+        filled.add(name)
+    if unmapped:
+        raise ValueError(
+            "torch checkpoint contains keys with no counterpart here "
+            f"(model family not covered by the importer?): {sorted(unmapped)}")
+    missing = set(template) - filled
+    if strict and missing:
+        raise ValueError(
+            f"torch checkpoint is missing parameters: {sorted(missing)} "
+            "(pass strict=False to keep initialized values for these)")
+    return out
+
+
+def load_torch_checkpoint(path: str):
+    """torch.load a reference checkpoint file; returns the raw object
+    (state_dict or wrapper dict) with tensors on CPU."""
+    import torch
+
+    return torch.load(path, map_location="cpu")

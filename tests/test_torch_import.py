@@ -1,0 +1,162 @@
+"""Reference torch checkpoints load into this framework and reproduce the
+reference model's outputs.
+
+This is the migration guarantee: a user's trained `.pth.tar` from the
+reference repo (raw state_dict from utils/earlystopping.py:50-56, or the
+{'state_dict': ...} wrapper from utils/misc_functions.py:72-80, with or
+without DataParallel's 'module.' prefix) imports via engine.load_ckpt and the
+imported parameters produce the same logits the REFERENCE CODE produces.
+
+The reference snapshot cannot instantiate unmodified (SURVEY.md header:
+`super(hConvGRUCell, self)` / `super(FFhGRU, self)` name stale copy-paste
+classes, models/InT.py:64,187, and jv_penalty hardcodes .cuda(),
+models/InT.py:243); the fixture aliases exactly those accidents, as
+bench_cpu_vs_reference.py does.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+B, C, T, H, W, K = 2, 8, 5, 12, 12, 5
+
+
+@pytest.fixture(scope="module")
+def ref_int_module():
+    sys.path.insert(0, "/root/reference")
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    import models.InT as ref_int
+
+    ref_int.hConvGRUCell = ref_int.rCell
+    ref_int.FFhGRU = ref_int.InT
+    yield ref_int
+    sys.path.remove("/root/reference")
+
+
+def _save_and_import(tmp_path, payload, template, strict=True):
+    from pathtracker_tpu.engine import load_ckpt
+
+    path = os.path.join(tmp_path, "model_val_acc_0123_epoch_07_checkpoint.pth.tar")
+    torch.save(payload, path)
+    return load_ckpt(template, path, strict=strict)
+
+
+def test_int_checkpoint_roundtrips_through_reference_code(ref_int_module, tmp_path):
+    from pathtracker_tpu.models.int_circuit import InT
+
+    torch.manual_seed(3)
+    ref = ref_int_module.InT(dimensions=C, timesteps=T, kernel_size=K)
+    ref.train()  # reference trains/evals with batch-stats BN either way
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, 3, T, H, W)).astype(np.float32)
+    with torch.no_grad():
+        ref_logit, ref_states, ref_gates = ref(torch.from_numpy(x), testmode=True)
+
+    model = InT(dimensions=C, timesteps=T, kernel_size=K)
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+    params = _save_and_import(tmp_path, ref.state_dict(), variables["params"])
+    logit, states, gates = model.apply({"params": params}, jnp.asarray(x),
+                                       testmode=True)
+
+    np.testing.assert_allclose(np.asarray(logit), ref_logit.numpy(),
+                               atol=1e-3, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(states), ref_states.numpy(),
+                               atol=1e-3, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(gates), ref_gates.numpy(),
+                               atol=1e-3, rtol=5e-3)
+
+
+def test_wrapped_and_dataparallel_prefixed_state_dicts(ref_int_module, tmp_path):
+    from pathtracker_tpu.models.int_circuit import InT
+
+    torch.manual_seed(4)
+    ref = ref_int_module.InT(dimensions=C, timesteps=T, kernel_size=K)
+    model = InT(dimensions=C, timesteps=T, kernel_size=K)
+    x = np.zeros((1, 3, T, H, W), np.float32)
+    template = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+
+    sd = ref.state_dict()
+    direct = _save_and_import(tmp_path, sd, template)
+    wrapped = _save_and_import(
+        tmp_path, {"state_dict": sd, "epoch": 7, "best_prec1": 0.9}, template)
+    prefixed = _save_and_import(
+        tmp_path, {"module." + k: v for k, v in sd.items()}, template)
+    for got in (wrapped, prefixed):
+        for name in template:
+            np.testing.assert_array_equal(np.asarray(got[name]),
+                                          np.asarray(direct[name]), err_msg=name)
+    # and the layouts actually moved: HWIO conv, [I,O] matmul, squeezed scalars
+    assert direct["w_exc"].shape == (K, K, C, C)
+    np.testing.assert_array_equal(
+        np.asarray(direct["w_exc"]),
+        sd["unit1.w_exc"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(direct["a_w_gate_kernel"]),
+        sd["unit1.a_w_gate.weight"].numpy()[:, :, 0, 0].T)
+    np.testing.assert_array_equal(np.asarray(direct["alpha"]),
+                                  sd["unit1.alpha"].numpy().reshape(-1))
+
+
+def test_strict_false_tolerates_missing_keys(ref_int_module, tmp_path):
+    from pathtracker_tpu.models.int_circuit import InT
+
+    torch.manual_seed(5)
+    ref = ref_int_module.InT(dimensions=C, timesteps=T, kernel_size=K)
+    model = InT(dimensions=C, timesteps=T, kernel_size=K)
+    x = np.zeros((1, 3, T, H, W), np.float32)
+    template = model.init(jax.random.key(1), jnp.asarray(x))["params"]
+
+    sd = ref.state_dict()
+    partial = {k: v for k, v in sd.items() if not k.startswith("readout_dense")}
+    with pytest.raises(ValueError, match="missing"):
+        _save_and_import(tmp_path, partial, template, strict=True)
+    merged = _save_and_import(tmp_path, partial, template, strict=False)
+    np.testing.assert_array_equal(np.asarray(merged["readout_dense_kernel"]),
+                                  np.asarray(template["readout_dense_kernel"]))
+    np.testing.assert_array_equal(np.asarray(merged["w_exc"]),
+                                  sd["unit1.w_exc"].numpy().transpose(2, 3, 1, 0))
+
+
+def test_unknown_family_raises_with_key_list(tmp_path):
+    from pathtracker_tpu.train.torch_import import import_reference_state_dict
+
+    with pytest.raises(ValueError, match="no counterpart"):
+        import_reference_state_dict(
+            {"layer1.0.conv1.weight": torch.zeros(4, 4, 3, 3)},
+            {"w_exc": np.zeros((3, 3, 4, 4), np.float32)})
+
+
+def test_convgru_checkpoint_imports(tmp_path):
+    """kys.GRU ('gru') checkpoints map through the same rules: concat-input
+    k x k gate convs (reference models/kys.py:18-21) land as HWIO kernels."""
+    from pathtracker_tpu.models.convgru import GRU
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        import models.kys as ref_kys
+
+        torch.manual_seed(6)
+        ref = ref_kys.GRU(dimensions=C, timesteps=T, kernel_size=K)
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((B, 3, T, H, W)).astype(np.float32)
+    with torch.no_grad():
+        ref_logit, _, _ = ref(torch.from_numpy(x), testmode=True)
+
+    model = GRU(dimensions=C, timesteps=T, kernel_size=K)
+    variables = model.init(jax.random.key(2), jnp.asarray(x))
+    params = _save_and_import(tmp_path, ref.state_dict(), variables["params"])
+    logit = model.apply({"params": params}, jnp.asarray(x), testmode=True)[0]
+    np.testing.assert_allclose(np.asarray(logit), ref_logit.numpy(),
+                               atol=1e-3, rtol=5e-3)
