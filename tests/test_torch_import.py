@@ -134,6 +134,36 @@ def test_unknown_family_raises_with_key_list(tmp_path):
             {"w_exc": np.zeros((3, 3, 4, 4), np.float32)})
 
 
+def test_hgru_checkpoint_imports(tmp_path):
+    """FFhGRU ('hgru') checkpoints import: same cell naming as InT, plus the
+    wrapper-level dead BatchNorm3d (reference ffhgru_hierarchy.py:186, never
+    called in forward) which is dropped."""
+    from pathtracker_tpu.models.hgru import FFhGRU
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        import models.ffhgru_hierarchy as ref_hgru
+
+        torch.manual_seed(8)
+        ref = ref_hgru.FFhGRU(dimensions=C, timesteps=T, kernel_size=K)
+    finally:
+        sys.path.remove("/root/reference")
+    assert "bn.weight" in ref.state_dict()  # the dead wrapper BN is real
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((B, 3, T, H, W)).astype(np.float32)
+    with torch.no_grad():
+        ref_logit, _, _ = ref(torch.from_numpy(x), testmode=True)
+
+    model = FFhGRU(dimensions=C, timesteps=T, kernel_size=K)
+    variables = model.init(jax.random.key(5), jnp.asarray(x))
+    params = _save_and_import(tmp_path, ref.state_dict(), variables["params"])
+    logit = model.apply({"params": params}, jnp.asarray(x), testmode=True)[0]
+    np.testing.assert_allclose(np.asarray(logit), ref_logit.numpy(),
+                               atol=1e-3, rtol=5e-3)
+
+
 def test_convgru_checkpoint_imports(tmp_path):
     """kys.GRU ('gru') checkpoints map through the same rules: concat-input
     k x k gate convs (reference models/kys.py:18-21) land as HWIO kernels."""
