@@ -146,3 +146,57 @@ def load_torch_checkpoint(path: str):
     import torch
 
     return torch.load(path, map_location="cpu")
+
+
+# --- export: this framework -> reference torch layout -----------------------
+
+_EXPORT_RULES = [
+    (re.compile(r"^preproc_kernel$"), lambda m: "preproc.weight"),
+    (re.compile(r"^preproc_bias$"), lambda m: "preproc.bias"),
+    (re.compile(r"^bn(\d+)_scale$"), lambda m: f"unit1.bn.{m.group(1)}.weight"),
+    (re.compile(r"^bn(\d+)_bias$"), lambda m: f"unit1.bn.{m.group(1)}.bias"),
+    (re.compile(r"^readout_conv_kernel$"), lambda m: "readout_conv.weight"),
+    (re.compile(r"^readout_conv_bias$"), lambda m: "readout_conv.bias"),
+    (re.compile(r"^target_conv_kernel$"), lambda m: "target_conv.weight"),
+    (re.compile(r"^target_conv_bias$"), lambda m: "target_conv.bias"),
+    (re.compile(r"^readout_dense_kernel$"), lambda m: "readout_dense.weight"),
+    (re.compile(r"^readout_dense_bias$"), lambda m: "readout_dense.bias"),
+    (re.compile(r"^(w_inh|w_exc|alpha|mu|gamma|kappa|w)$"),
+     lambda m: f"unit1.{m.group(1)}"),
+    (re.compile(r"^([A-Za-z_0-9]+)_kernel$"), lambda m: f"unit1.{m.group(1)}.weight"),
+    (re.compile(r"^([A-Za-z_0-9]+)_bias$"), lambda m: f"unit1.{m.group(1)}.bias"),
+]
+
+
+def export_reference_state_dict(params: dict) -> dict:
+    """Inverse of `import_reference_state_dict` for the same family: a flat
+    params dict becomes a reference-layout torch state_dict, so checkpoints
+    trained here can be inspected/evaluated with the reference's own code."""
+    import torch
+
+    out = {}
+    for name, value in params.items():
+        arr = np.asarray(value, dtype=np.float32)
+        key = None
+        for pattern, fn in _EXPORT_RULES:
+            m = pattern.match(name)
+            if m:
+                key = fn(m)
+                break
+        if key is None:
+            raise ValueError(f"no reference counterpart for parameter {name!r}")
+        if key == "preproc.weight":
+            arr = arr.T[:, :, None, None, None]  # [3,C] -> [C,3,1,1,1]
+        elif key == "readout_conv.weight" or (
+                key.endswith(".weight") and key.startswith("unit1.")
+                and arr.ndim == 2 and "dense" not in key):
+            arr = arr.T[:, :, None, None]  # [I,O] matmul -> [O,I,1,1] conv
+        elif key == "readout_dense.weight":
+            arr = arr.T  # [in,out] -> [out,in]
+        elif arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif key.startswith("unit1.") and arr.ndim == 1 and re.search(
+                r"unit1\.(alpha|mu|gamma|kappa|w)$", key):
+            arr = arr[:, None, None]  # [C] -> [C,1,1]
+        out[key] = torch.from_numpy(np.ascontiguousarray(arr))
+    return out

@@ -125,6 +125,30 @@ def test_strict_false_tolerates_missing_keys(ref_int_module, tmp_path):
                                   sd["unit1.w_exc"].numpy().transpose(2, 3, 1, 0))
 
 
+def test_export_runs_under_reference_code(ref_int_module):
+    """The inverse direction: params trained here export to a reference-layout
+    state_dict that the reference's own InT loads strictly and reproduces
+    our logits."""
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.torch_import import export_reference_state_dict
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((B, 3, T, H, W)).astype(np.float32)
+    model = InT(dimensions=C, timesteps=T, kernel_size=K)
+    variables = model.init(jax.random.key(9), jnp.asarray(x))
+    logit, _, _ = model.apply(variables, jnp.asarray(x), testmode=True)
+
+    sd = export_reference_state_dict(dict(variables["params"]))
+    ref = ref_int_module.InT(dimensions=C, timesteps=T, kernel_size=K)
+    # strict load: reference InT's state_dict is covered exactly (the dead
+    # wrapper BatchNorm3d exists only in FFhGRU, not InT).
+    ref.load_state_dict(sd, strict=True)
+    with torch.no_grad():
+        ref_logit, _, _ = ref(torch.from_numpy(x), testmode=True)
+    np.testing.assert_allclose(np.asarray(logit), ref_logit.numpy(),
+                               atol=1e-3, rtol=5e-3)
+
+
 def test_unknown_family_raises_with_key_list(tmp_path):
     from pathtracker_tpu.train.torch_import import import_reference_state_dict
 
