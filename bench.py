@@ -23,7 +23,8 @@ import numpy as np
 
 
 def measure(batch: int = 256, timesteps: int = 64, iters: int = 20,
-            warmup: int = 3, bf16: bool = True) -> dict:
+            warmup: int = 3, bf16: bool = True,
+            remat_policy: str = "conv") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -32,9 +33,11 @@ def measure(batch: int = 256, timesteps: int = 64, iters: int = 20,
 
     # The bf16 fast path (f32 masters, bf16 activations/MXU inputs, f32 BN
     # stats + loss) is the production training configuration; BENCH_F32=1
-    # measures the f32 reference-parity path instead.
+    # measures the f32 reference-parity path instead. BENCH_REMAT picks the
+    # rematerialization policy ('conv' | 'conv_gates' | 'full').
     model = InT(dimensions=32, timesteps=timesteps, kernel_size=7,
-                dtype="bfloat16" if bf16 else "float32")
+                dtype="bfloat16" if bf16 else "float32",
+                remat_policy=remat_policy)
     sample = jnp.zeros((batch, 3, timesteps, 32, 32), jnp.float32)
     params = model.init(jax.random.key(0), sample)["params"]
     optimizer = make_optimizer(3e-4)
@@ -73,7 +76,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 256))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     res = measure(batch=batch, iters=iters,
-                  bf16=not int(os.environ.get("BENCH_F32", 0)))
+                  bf16=not int(os.environ.get("BENCH_F32", 0)),
+                  remat_policy=os.environ.get("BENCH_REMAT", "conv"))
 
     baseline = None
     try:

@@ -64,7 +64,12 @@ def _int_cell_step(cp, xt, carry, *, use_attention, no_inh, act, mxu,
     inh, exc = carry
 
     def fdense(z, kern, bias=None):
-        return dense(z, kern, bias, mxu_dtype=mxu)
+        y = dense(z, kern, bias, mxu_dtype=mxu)
+        # Tagged so remat_policy='conv_gates' can save these four in-scan
+        # matmul outputs instead of recomputing them in backward. In the
+        # mixed path they are bf16 in forward already, so saving them is
+        # bit-identical to recomputation — a pure speed/memory trade.
+        return _ckpt_name(y, "cell_gate")
 
     def fconv(z, kern):
         y = conv2d(z, kern, mxu_dtype=mxu, keep_mxu_dtype=True)
@@ -120,8 +125,11 @@ class InT(nn.Module):
     remat: bool = True
     # 'conv' saves the two k x k conv outputs per step and rematerializes only
     # the cheap elementwise/gate chain in backward (the convs are the FLOPs:
-    # full remat replays them, +50% conv cost); 'full' stores nothing but the
-    # carry (reference-style minimal memory). Numerics are identical.
+    # full remat replays them, +50% conv cost); 'conv_gates' additionally
+    # saves the four in-scan gate matmul outputs (more memory, less backward
+    # recompute — bit-identical in the mixed path where they are bf16
+    # forward values anyway); 'full' stores nothing but the carry
+    # (reference-style minimal memory). Numerics are identical.
     remat_policy: str = "conv"
     # Compute dtype policy: 'float32' runs everything f32 with
     # Precision.HIGHEST (reference parity); 'bfloat16' is the MIXED fast
@@ -234,6 +242,11 @@ class InT(nn.Module):
                 step = jax.checkpoint(
                     step,
                     policy=jax.checkpoint_policies.save_only_these_names("cell_conv"))
+            elif self.remat_policy == "conv_gates":
+                step = jax.checkpoint(
+                    step,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "cell_conv", "cell_gate"))
             else:
                 step = jax.checkpoint(step)
 

@@ -184,3 +184,34 @@ def test_int_chrono_init_no_attention():
     iw = np.asarray(flat["i_w_gate_bias"])
     assert (iw >= 0).all() and (iw <= np.log(15) + 1e-6).all()
     np.testing.assert_allclose(np.asarray(flat["e_w_gate_bias"]), -iw)
+
+
+def test_remat_policies_same_gradients():
+    """'conv', 'conv_gates', and 'full' remat change what backward stores,
+    never what it computes: loss and gradients must match bitwise-closely."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((B, 3, T, H, W)).astype(np.float32))
+    y = jnp.asarray((np.arange(B) % 2).astype(np.float32))
+
+    def grads_for(policy):
+        model = InT(dimensions=C, timesteps=T, kernel_size=K,
+                    remat_policy=policy)
+        variables = model.init(jax.random.key(21), x)
+
+        def loss(p):
+            logit, _ = model.apply({"params": p}, x)
+            return jnp.mean(
+                jnp.maximum(logit[:, 0], 0) - logit[:, 0] * y
+                + jnp.log1p(jnp.exp(-jnp.abs(logit[:, 0]))))
+
+        lv, g = jax.value_and_grad(loss)(variables["params"])
+        return float(lv), g
+
+    l0, g0 = grads_for("conv")
+    for policy in ("conv_gates", "full"):
+        lv, g = grads_for(policy)
+        assert abs(lv - l0) < 1e-6, (policy, lv, l0)
+        for name in g0:
+            np.testing.assert_allclose(
+                np.asarray(g[name]), np.asarray(g0[name]),
+                atol=1e-5, rtol=1e-4, err_msg=f"{policy}:{name}")
