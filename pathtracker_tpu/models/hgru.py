@@ -239,7 +239,13 @@ class ClockHGRU(_HGRUBase):
 class FFhGRUv2(_HGRUBase):
     """No-attention variant with the wide readout: cat(excitation, frame-0
     channels 1:) -> Conv2d(C+2, 1, 1) -> global pool
-    (reference models/ffhgru_hierarchy.py:279-362)."""
+    (reference models/ffhgru_hierarchy.py:279-362).
+
+    Snapshot accident (pinned by tests/test_torch_import.py): the reference
+    cell's no-attention path never assigns gated_excitation/gated_inhibition
+    (ffhgru_hierarchy.py:141-152), so FFhGRU_v2 raises UnboundLocalError and
+    cannot run there at all. This implements the intent: without attention
+    the cell reads the ungated excitation/inhibition state."""
 
     use_attention: bool = False
 

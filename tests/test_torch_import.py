@@ -188,6 +188,49 @@ def test_hgru_checkpoint_imports(tmp_path):
                                atol=1e-3, rtol=5e-3)
 
 
+def test_hgru_v2_checkpoint_imports(tmp_path):
+    """FFhGRU_v2 ('hgru_v2') state_dicts import by the same rules — but the
+    reference code itself CANNOT run this model: hConvGRUCell.forward with
+    use_attention=False never assigns gated_excitation/gated_inhibition
+    (reference ffhgru_hierarchy.py:141-152) and raises UnboundLocalError.
+    Another snapshot accident alongside the SURVEY.md header list; our
+    FFhGRUv2 implements the intent (no attention -> ungated state). So this
+    test pins the accident and verifies the weight mapping, with no
+    reference forward to compare against (no real v2 checkpoints can
+    exist)."""
+    from pathtracker_tpu.models.hgru import FFhGRUv2
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        import models.ffhgru_hierarchy as ref_hgru
+
+        torch.manual_seed(12)
+        ref = ref_hgru.FFhGRU_v2(dimensions=C, timesteps=T, kernel_size=K)
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((B, 3, T, H, W)).astype(np.float32)
+    with pytest.raises(UnboundLocalError):
+        with torch.no_grad():
+            ref(torch.from_numpy(x), testmode=True)
+
+    model = FFhGRUv2(dimensions=C, timesteps=T, kernel_size=K)
+    variables = model.init(jax.random.key(7), jnp.asarray(x))
+    sd = ref.state_dict()
+    params = _save_and_import(tmp_path, sd, variables["params"])
+    np.testing.assert_array_equal(
+        np.asarray(params["target_conv_kernel"]),
+        sd["target_conv.weight"].numpy()[:, :, 0, 0].T)
+    np.testing.assert_array_equal(
+        np.asarray(params["w_inh"]),
+        sd["unit1.w_inh"].numpy().transpose(2, 3, 1, 0))
+    # the imported params run under our (intent-implementing) model
+    logit = model.apply({"params": params}, jnp.asarray(x), testmode=True)[0]
+    assert np.isfinite(np.asarray(logit)).all()
+
+
 def test_convgru_checkpoint_imports(tmp_path):
     """kys.GRU ('gru') checkpoints map through the same rules: concat-input
     k x k gate convs (reference models/kys.py:18-21) land as HWIO kernels."""
