@@ -17,9 +17,23 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# The axon TPU backend registers through sitecustomize on PYTHONPATH
+# (/root/.axon_site — see CLAUDE.md). If this process was started without
+# that path (e.g. a bare `python bench.py`), register it here BEFORE jax
+# imports so the benchmark cannot silently fall back to CPU.
+_AXON_SITE = "/root/.axon_site"
+if (os.environ.get("PALLAS_AXON_POOL_IPS") and os.path.isdir(_AXON_SITE)
+        and _AXON_SITE not in sys.path):
+    try:
+        import axon  # noqa: F401  (already registered)
+    except ImportError:
+        sys.path.insert(0, _AXON_SITE)
+        import sitecustomize  # noqa: F401
 
 
 def measure(batch: int = 256, timesteps: int = 64, iters: int = 20,
