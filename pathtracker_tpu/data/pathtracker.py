@@ -48,11 +48,18 @@ def _walk(rng: np.random.Generator, n_dots: int, timesteps: int, speed: float,
     return out
 
 
-def _splat(canvas: np.ndarray, yx: np.ndarray, value: int) -> None:
-    """Draw 1-pixel dots at float coords (nearest-pixel) into [H,W] uint8."""
+def _splat(canvas: np.ndarray, yx: np.ndarray, value: int,
+           size: int = 1) -> None:
+    """Draw size x size dots at float coords (nearest-pixel) into [H,W]
+    uint8. size=1 keeps the original single-pixel rendering; larger dots
+    give conv nets denser activations per object (the cluster datasets'
+    objects are multi-pixel; $PATHTRACKER_DOT_SIZE picks this for
+    synthesized data)."""
     ij = np.round(yx).astype(np.int64)
-    ij = np.clip(ij, 0, canvas.shape[0] - 1)
-    canvas[ij[..., 0], ij[..., 1]] = value
+    for dy in range(-(size // 2), size - size // 2):
+        for dx in range(-(size // 2), size - size // 2):
+            p = np.clip(ij + np.array([dy, dx]), 0, canvas.shape[0] - 1)
+            canvas[p[..., 0], p[..., 1]] = value
 
 
 def render_pathtracker_clip(
@@ -62,8 +69,13 @@ def render_pathtracker_clip(
     n_distractors: int = 14,
     speed: float = 1.0,
     positive: bool | None = None,
+    dot_size: int | None = None,
 ) -> tuple[np.ndarray, int]:
-    """Render one clip. Returns (uint8 [T,H,W,3], label in {0,1})."""
+    """Render one clip. Returns (uint8 [T,H,W,3], label in {0,1}).
+
+    dot_size defaults to $PATHTRACKER_DOT_SIZE (or 1)."""
+    if dot_size is None:
+        dot_size = int(os.environ.get("PATHTRACKER_DOT_SIZE", 1))
     if positive is None:
         positive = bool(rng.integers(0, 2))
     n_dots = n_distractors + 1
@@ -72,17 +84,17 @@ def render_pathtracker_clip(
 
     clip = np.zeros((timesteps, size, size, 3), dtype=np.uint8)
     for t in range(timesteps):
-        _splat(clip[t, :, :, 0], tracks[:, t], 255)  # all dots, red channel
+        _splat(clip[t, :, :, 0], tracks[:, t], 255, dot_size)  # all dots, red channel
 
     # Blue channel: start marker on frame 0, candidate end marker on last frame.
-    _splat(clip[0, :, :, 2], target[0], 255)
+    _splat(clip[0, :, :, 2], target[0], 255, dot_size)
     if positive or n_distractors == 0:
         end = target[-1]
         label = 1
     else:
         end = tracks[1 + rng.integers(0, n_distractors), -1]
         label = 0
-    _splat(clip[-1, :, :, 2], end, 255)
+    _splat(clip[-1, :, :, 2], end, 255, dot_size)
     return clip, label
 
 
