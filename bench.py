@@ -36,7 +36,7 @@ if (os.environ.get("PALLAS_AXON_POOL_IPS") and os.path.isdir(_AXON_SITE)
         import sitecustomize  # noqa: F401
 
 
-def measure(batch: int = 256, timesteps: int = 64, iters: int = 20,
+def measure(batch: int = 128, timesteps: int = 64, iters: int = 20,
             warmup: int = 3, bf16: bool = True,
             remat_policy: str = "conv") -> dict:
     import jax
@@ -102,7 +102,11 @@ def measure(batch: int = 256, timesteps: int = 64, iters: int = 20,
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    # Batch 128 sits at the measured latency cliff: step latency is flat
+    # (~0.19 s) for batch <= 128 and doubles above it (measured 64/96/128 ->
+    # 0.205/0.190/0.189 s; 160/192/256 -> 0.398/0.396/0.391 s), so 128 is
+    # the throughput optimum (671 vs 653 clips/s at 256).
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     res = measure(batch=batch, iters=iters,
                   bf16=not int(os.environ.get("BENCH_F32", 0)),
