@@ -42,7 +42,14 @@ def load_resident(data_dir: str, timesteps: int, height: int = 32,
                 take = len(shard)
                 if limit is not None:
                     take = min(take, limit - n)
-                all_clips.append(shard.clips[:take])  # fancy/slice copy
+                # MUST be real copies: basic slicing returns a VIEW into the
+                # C++ handle's buffer, and close() releases the handle to a
+                # pool whose next acquisition decodes the NEXT shard into the
+                # same memory — a view kept here silently becomes that
+                # shard's clips (measured: with 2 shards, half the resident
+                # dataset was duplicated shard-2 clips under shard-1 labels,
+                # i.e. 50% label noise; tests/test_tfrecord.py pins this).
+                all_clips.append(shard.clips[:take].copy())
                 all_labels.append(shard.labels[:take].copy())
         else:
             clips = []

@@ -221,3 +221,34 @@ def test_synthetic_task_is_learnable():
     assert easy > 0.9, easy   # measured 0.97 at n=400
     assert hard > 0.5, hard   # measured 0.63 at n=400
     assert easy > hard
+
+
+def test_load_resident_survives_shard_pooling(tmp_path):
+    """load_resident must deep-copy out of each ShardView: the native handle
+    pool reuses decode buffers across shards, so a kept VIEW of shard i
+    silently becomes shard i+1's clips after the next open (this produced
+    50% label noise in every multi-shard --device-data run before the fix)."""
+    import numpy as np
+
+    from pathtracker_tpu.data import native
+    from pathtracker_tpu.data.pathtracker import make_synthetic_dataset
+    from pathtracker_tpu.data.resident import load_resident
+    from pathtracker_tpu.data.tfrecord import read_clip_records
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+
+    root = make_synthetic_dataset(str(tmp_path), n_train=48, n_test=8,
+                                  timesteps=6, n_distractors=2, shards=4)
+    clips, labels = load_resident(root + "/train-*", timesteps=6)
+    clips, labels = np.asarray(clips), np.asarray(labels)
+
+    disk_clips, disk_labels = [], []
+    import glob
+    for path in sorted(glob.glob(root + "/train-*")):
+        for c, l in read_clip_records(path, timesteps=6):
+            disk_clips.append(c)
+            disk_labels.append(l)
+    np.testing.assert_array_equal(labels, np.asarray(disk_labels, np.uint8))
+    np.testing.assert_array_equal(clips, np.stack(disk_clips))
