@@ -112,11 +112,18 @@ def main():
                   bf16=not int(os.environ.get("BENCH_F32", 0)),
                   remat_policy=os.environ.get("BENCH_REMAT", "conv"))
 
+    # Compare like-for-like only: the headline clips_per_sec is the
+    # PIPELINED-window protocol (N chained steps, one sync). A baseline
+    # recorded under a different protocol (e.g. p50 per-step-with-fetch)
+    # would inflate vs_baseline, so BASELINE.json values must carry a
+    # 'protocol' field and anything else is ignored.
+    PROTOCOL = "pipelined_window"
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
             pub = json.load(f).get("published", {})
-        baseline = pub.get("clips_per_sec_chip")
+        if pub.get("protocol", PROTOCOL) == PROTOCOL:
+            baseline = pub.get("clips_per_sec_chip")
     except Exception:
         pass
     vs = res["clips_per_sec"] / baseline if baseline else 1.0
@@ -125,6 +132,7 @@ def main():
         "value": round(res["clips_per_sec"], 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs, 3),
+        "protocol": PROTOCOL,
         "p50_batch_latency_s": round(res["p50_batch_latency_s"], 4),
         "per_step_fetch_clips_per_sec": round(res["per_step_fetch_clips_per_sec"], 2),
         "batch": res["batch"],

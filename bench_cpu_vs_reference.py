@@ -81,13 +81,15 @@ def measure_reference() -> float:
 
 
 def measure_ours() -> float:
-    # One timing harness for both benchmarks: bench.measure is the same
-    # jitted-train-step protocol the TPU headline uses (warmup, p50 over
-    # host-fetched steps), run here on the f32 parity path.
+    # One timing harness for both benchmarks: bench.measure, run here on the
+    # f32 parity path. The torch side reports median per-step latency with a
+    # sync every step, so use the like-for-like per-step-fetch number (one
+    # host fetch per step), NOT the pipelined window throughput — the two
+    # protocols must match for the printed speedup to mean anything.
     from bench import measure
 
     res = measure(batch=BATCH, timesteps=T, iters=ITERS, warmup=1, bf16=False)
-    return float(res["clips_per_sec"])
+    return float(res["per_step_fetch_clips_per_sec"])
 
 
 def main():

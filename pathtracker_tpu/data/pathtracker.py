@@ -75,7 +75,16 @@ def render_pathtracker_clip(
 
     dot_size defaults to $PATHTRACKER_DOT_SIZE (or 1)."""
     if dot_size is None:
-        dot_size = int(os.environ.get("PATHTRACKER_DOT_SIZE", 1))
+        raw = os.environ.get("PATHTRACKER_DOT_SIZE", "1")
+        try:
+            dot_size = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"$PATHTRACKER_DOT_SIZE must be an integer >= 1, got {raw!r}")
+    if dot_size < 1:
+        raise ValueError(
+            f"dot_size must be >= 1 (got {dot_size}; check $PATHTRACKER_DOT_SIZE)"
+            " — size < 1 would render blank clips with labels")
     if positive is None:
         positive = bool(rng.integers(0, 2))
     n_dots = n_distractors + 1

@@ -36,11 +36,15 @@ def save_checkpoint(path: str, params, epoch: int = 0, acc: float = 0.0,
 
 def _is_torch_pickle(path: str) -> bool:
     """Reference .pth.tar files are torch pickles: a zip archive (new format,
-    'PK\\x03\\x04') or a bare pickle stream (legacy, protocol marker 0x80).
-    msgpack never starts with either byte sequence for a map payload."""
+    'PK\\x03\\x04') or a bare pickle stream (legacy: PROTO opcode 0x80
+    followed by a protocol number 2-5 — torch uses protocol 2+). A bare
+    0x80 first byte alone is NOT enough: msgpack encodes an empty fixmap as
+    0x80 too, so require the plausible protocol byte after it."""
     with open(path, "rb") as f:
         head = f.read(4)
-    return head[:4] == b"PK\x03\x04" or (len(head) > 0 and head[0] == 0x80)
+    if head[:4] == b"PK\x03\x04":
+        return True
+    return len(head) >= 2 and head[0] == 0x80 and 2 <= head[1] <= 5
 
 
 def load_checkpoint(path: str) -> dict:

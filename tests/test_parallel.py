@@ -215,6 +215,29 @@ def test_pipeline_composes_with_data_axis():
         mesh, _pipe_stage_fn, w, x, batch_axis="data"))(stacked, xd)
     np.testing.assert_allclose(np.asarray(out), np.asarray(seq), atol=1e-5)
 
+    # Gradient parity on the composed mesh — the configuration the
+    # __graft_entry__ train step actually uses. A wrong psum/ppermute
+    # transpose over the data axis would pass the forward check above but
+    # corrupt gradients, so compare jax.grad against sequential execution.
+    def loss_pipe(w):
+        y = pipeline_apply(mesh, _pipe_stage_fn, w, xd, batch_axis="data")
+        return jnp.sum(y ** 2)
+
+    def loss_seq(ws):
+        y = jnp.asarray(x)
+        for p in ws:
+            y = _pipe_stage_fn(p, y)
+        return jnp.sum(y ** 2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(stacked)
+    g_seq = stack_stage_params(jax.grad(loss_seq)(params))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_pipe),
+            jax.tree_util.tree_leaves_with_path(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=jax.tree_util.keystr(ka))
+
 
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
