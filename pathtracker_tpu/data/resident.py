@@ -106,7 +106,8 @@ def make_resident_train_step(model, model_name: str, optimizer,
                              n_clips: int, batch_size: int,
                              penalty: bool = False,
                              prepare_kwargs: dict | None = None,
-                             seed: int = 0, mesh=None):
+                             seed: int = 0, mesh=None,
+                             fused_steps: int = 1):
     """Jitted step over a device-resident dataset.
 
     step(params, opt_state, data, labels, step_idx) gathers batch
@@ -119,7 +120,16 @@ def make_resident_train_step(model, model_name: str, optimizer,
     slice per epoch (rng folded with the device index), so the global batch
     is the concatenation of local gathers — no cross-device index traffic;
     the usual data-parallel gradient all-reduce follows.
-    """
+
+    fused_steps > 1 chains that many optimizer steps inside ONE compiled
+    program (`lax.scan` over the step body; the whole dataset is already on
+    device, so nothing needs the host between steps) and returns per-step
+    stats stacked [k]. One dispatch + one host fetch then amortizes over k
+    steps — on a tunneled backend where each fetch costs ~27 ms this is the
+    difference between ~0.18 s and ~0.12 s per 32-frame step. Stats dict
+    values are scalars when fused_steps == 1 (drop-in) and [k] arrays
+    otherwise; epoch-tail windows shorter than k compile once per distinct
+    length."""
     import functools
 
     import jax
@@ -165,8 +175,7 @@ def make_resident_train_step(model, model_name: str, optimizer,
         idx = jnp.take(perm, idx, axis=0)
         return jnp.take(data, idx, axis=0), jnp.take(labels, idx, axis=0)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def _step(params, opt_state, data, labels, step_idx):
+    def _step_core(params, opt_state, data, labels, step_idx):
         if mesh is None:
             raw_imgs, raw_labels = _gather_local(data, labels, step_idx, 0,
                                                  batch_size)
@@ -193,15 +202,46 @@ def make_resident_train_step(model, model_name: str, optimizer,
                             precision, recall, f1s])
         return params, opt_state, packed
 
+    _step = functools.partial(jax.jit, donate_argnums=(0, 1))(_step_core)
+
+    @functools.lru_cache(maxsize=None)
+    def _fused(k: int):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def f(params, opt_state, data, labels, step_idx0):
+            def body(carry, si):
+                p, o = carry
+                p, o, packed = _step_core(p, o, data, labels, si)
+                return (p, o), packed
+
+            (params, opt_state), packed = jax.lax.scan(
+                body, (params, opt_state),
+                step_idx0 + jnp.arange(k, dtype=jnp.uint32))
+            return params, opt_state, packed  # packed: [k, 7]
+
+        return f
+
     counter = [0]
 
     def train_step(params, opt_state, data, labels):
         step_idx = np.uint32(counter[0])
-        counter[0] += 1
-        params, opt_state, packed = _step(params, opt_state, data, labels,
-                                          step_idx)
-        host = np.asarray(packed)
-        return params, opt_state, dict(zip(_KEYS, host))
+        if fused_steps <= 1:
+            counter[0] += 1
+            params, opt_state, packed = _step(params, opt_state, data, labels,
+                                              step_idx)
+            host = np.asarray(packed)  # single host fetch / sync point
+            return params, opt_state, dict(zip(_KEYS, host))
+        # Window size: fused_steps, clipped so a window never crosses the
+        # epoch boundary (keeps epoch accounting exact; tail windows reuse a
+        # once-compiled program per distinct length).
+        slot = counter[0] % steps_per_epoch
+        k = min(fused_steps, steps_per_epoch - slot)
+        counter[0] += k
+        params, opt_state, packed = _fused(k)(params, opt_state, data,
+                                              labels, step_idx)
+        host = np.asarray(packed)  # [k, 7], ONE host fetch for k steps
+        return params, opt_state, dict(zip(_KEYS, host.T))
 
     train_step.steps_per_epoch = steps_per_epoch
+    train_step.fused_steps = max(1, fused_steps)
+    train_step.windows_per_epoch = -(-steps_per_epoch // max(1, fused_steps))
     return train_step

@@ -217,7 +217,8 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         train_step = make_resident_train_step(
             model, args.model, optimizer, n_clips=len_train_loader,
             batch_size=args.batch_size, penalty=args.penalty,
-            prepare_kwargs=prep, seed=args.seed, mesh=mesh)
+            prepare_kwargs=prep, seed=args.seed, mesh=mesh,
+            fused_steps=getattr(args, "fused_steps", 1))
     else:
         train_step = make_train_step(model, args.model, optimizer,
                                      penalty=args.penalty, prepare_kwargs=prep,
@@ -241,9 +242,11 @@ def main(args=None, max_steps_per_epoch: int | None = None):
 
         sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
         if device_data:
-            # Resident mode: the step gathers its own batch on device.
+            # Resident mode: the step gathers its own batch on device; with
+            # --fused-steps each iteration runs a whole k-step window in one
+            # compiled program (one dispatch + one stats fetch per window).
             batches = ((train_clips, train_labels)
-                       for _ in range(train_step.steps_per_epoch))
+                       for _ in range(train_step.windows_per_epoch))
         else:
             batches = device_prefetch(iter(train_loader), sharding)
         for idx, (imgs, target) in enumerate(batches):
@@ -255,19 +258,23 @@ def main(args=None, max_steps_per_epoch: int | None = None):
                 jax.profiler.start_trace(args.profile)
                 trace_active = True
             params, vopt, stats = train_step(params, vopt, imgs, target)
-            loss = float(stats["loss"])
+            # Fused windows return [k] per-step stats; plain steps scalars.
+            sub = {k_: np.atleast_1d(v) for k_, v in stats.items()}
+            n_sub = len(sub["loss"])
             if trace_active and idx >= 4:
                 jax.profiler.stop_trace()
                 trace_active = False
                 print(f"profiler trace written to {args.profile}")
-            meters["loss"].update(loss, 1)
-            train_log_dict["jvpen"].append(float(stats["jvpen"]))
-            train_log_dict["scaled_loss"].append(float(stats["scaled_loss"]))
-            meters["balacc"].update(float(stats["balacc"]), 1)
-            meters["precision"].update(float(stats["precision"]), 1)
-            meters["recall"].update(float(stats["recall"]), 1)
-            meters["f1score"].update(float(stats["f1score"]), 1)
-            meters["batch_time"].update(time.perf_counter() - end)
+            for s in range(n_sub):
+                meters["loss"].update(float(sub["loss"][s]), 1)
+                train_log_dict["jvpen"].append(float(sub["jvpen"][s]))
+                train_log_dict["scaled_loss"].append(float(sub["scaled_loss"][s]))
+                meters["balacc"].update(float(sub["balacc"][s]), 1)
+                meters["precision"].update(float(sub["precision"][s]), 1)
+                meters["recall"].update(float(sub["recall"][s]), 1)
+                meters["f1score"].update(float(sub["f1score"][s]), 1)
+            # batch_time keeps per-STEP semantics under fusion.
+            meters["batch_time"].update((time.perf_counter() - end) / n_sub)
             end = time.perf_counter()
 
             if idx % args.print_freq == 0:

@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "gather batches on device (fits PathTracker's "
                              "20k x 64-frame configs in <4GB; removes the "
                              "host input pipeline from the steady state)")
+    parser.add_argument("--fused-steps", type=int, default=1, metavar="K",
+                        dest="fused_steps",
+                        help="with --device-data: chain K optimizer steps "
+                             "inside one compiled program (lax.scan), one "
+                             "dispatch + one stats fetch per window")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="write a jax.profiler trace of post-compile train"
                              " steps to DIR (view with tensorboard/xprof)")

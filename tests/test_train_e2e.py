@@ -139,3 +139,50 @@ def test_device_resident_training(tmp_path):
     batches = list(ResidentBatches(dc, dl, 5))
     assert len(batches) == 2  # 12 // 5, remainder dropped
     assert batches[0][0].shape == (5, 4, 16, 16, 3)
+
+
+def test_fused_resident_steps_match_unfused():
+    """--fused-steps k (k optimizer steps chained in one compiled program via
+    lax.scan) must be numerically identical to k separate step dispatches:
+    same per-step stats, same final params. Tail windows shorter than k
+    (steps_per_epoch not divisible by fused_steps) must keep the epoch
+    accounting exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracker_tpu.data.resident import make_resident_train_step
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer
+
+    rng = np.random.default_rng(1)
+    clips = rng.integers(0, 255, size=(12, 4, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(12,), dtype=np.uint8)
+    model = InT(dimensions=8, timesteps=4, kernel_size=3)
+    sample = jnp.zeros((4, 3, 4, 16, 16), jnp.float32)
+    params0 = model.init(jax.random.key(0), sample)["params"]
+    opt = make_optimizer(1e-3)
+    dc, dl = jax.device_put(clips), jax.device_put(labels)
+
+    def run(fused):
+        step = make_resident_train_step(model, "InT", opt, n_clips=12,
+                                        batch_size=4, seed=0,
+                                        fused_steps=fused)
+        params = jax.tree.map(jnp.copy, params0)
+        opt_state = opt.init(params)
+        stats_all = []
+        for _ in range(step.windows_per_epoch * 2):  # two epochs
+            params, opt_state, stats = step(params, opt_state, dc, dl)
+            stats_all.append(np.atleast_1d(stats["loss"]))
+        return params, np.concatenate(stats_all)
+
+    p1, l1 = run(1)
+    # steps_per_epoch=3, fused=2 -> windows of 2 + tail of 1 per epoch
+    p2, l2 = run(2)
+    assert len(l1) == len(l2) == 6
+    np.testing.assert_allclose(l1, l2, rtol=1e-6, atol=1e-7)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p1),
+            jax.tree_util.tree_leaves_with_path(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(ka))
