@@ -30,6 +30,18 @@ SLOWFAST_ALPHA = 4  # slow pathway takes every 4th frame (reference utils/engine
 
 def model_selector(args, timesteps: int, device=None):
     """Build a model from parsed args (reference utils/engine.py:75-217)."""
+    if args.model == "convlstm":
+        # ConvLSTM keeps the reference's legacy direct-call contract — a
+        # STATIC [B,1,H,W] image in, [B,2,H,W] map out, criterion passed
+        # into forward (reference convlstm.py:116; not wired into the
+        # reference's model_selector either). It is reachable via
+        # models.registry.model_selector("convlstm") for direct use, not
+        # through the video train/eval CLIs.
+        raise NotImplementedError(
+            "'convlstm' uses the reference's legacy direct-call contract "
+            "(static image -> [B,2,H,W]; reference convlstm.py:116) and is "
+            "not trainable through the video CLI — build it via "
+            "pathtracker_tpu.models.registry.model_selector('convlstm')")
     kwargs = {}
     if getattr(args, "bf16", False) and (
             args.model.startswith(("InT", "r3d", "mc3", "r2plus1", "nostride"))

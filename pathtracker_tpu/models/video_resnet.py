@@ -29,7 +29,19 @@ Variants:
                            Conv2d(33,1,5) -> Linear(1024,1) (reference
                            nostridetv_cc_smallest.py:238-253)
 
-All norms are batch-stat (framework stance; torchvision used running stats).
+All norms are batch-stat (framework stance; torchvision used running stats),
+eps 1e-5 per torch BatchNorm3d. Strided convs in the torchvision variants
+use explicit torch-style symmetric padding ((k-1)//2 per dim), NOT XLA
+"SAME": for stride 2 on even extents the two place conv windows at
+different offsets, and only the explicit form reproduces torchvision
+numerics (pinned against torchvision.models.video in
+tests/test_video_resnet_oracle.py). The no-stride variants keep
+resolution-preserving SAME padding by design: the reference fork is
+broken as written (its blocks keep stride-2 main paths while the dilated
+downsample is stride-1 and unpadded, so residual shapes mismatch at
+runtime, and its dilated stem's torch padding would shrink 32->26) — the
+fork's stated intent, preserved resolution for 32x32 tracking, requires
+stride-1 + SAME.
 Init parity: kaiming-normal fan_out/relu convs, BN (1,0), fc normal(0.01).
 """
 
@@ -54,6 +66,15 @@ def _kaiming_out(key, shape, dtype=jnp.float32):
     return std * jax.random.normal(key, shape, dtype)
 
 
+_BN_EPS = 1e-5  # torch BatchNorm3d default (reference nostridetv.py norms)
+
+
+def _torch_pad(kernel: tuple) -> tuple:
+    """torch's symmetric conv padding: (k-1)//2 per dim. Equals SAME for
+    stride 1 + odd k; differs from SAME for strided convs on even extents."""
+    return tuple((k - 1) // 2 for k in kernel)
+
+
 class _ConvBN(nn.Module):
     cin: int
     cout: int
@@ -61,13 +82,16 @@ class _ConvBN(nn.Module):
     stride: tuple = (1, 1, 1)
     dilation: tuple = (1, 1, 1)
     relu: bool = False
+    padding: Any = None  # None -> torch-style symmetric; or "SAME"
 
     @nn.compact
     def __call__(self, x):
         k = self.param("kernel", _kaiming_out, (*self.kernel, self.cin, self.cout))
-        y = conv3d(x, k, stride=self.stride, padding="SAME", dilation=self.dilation)
+        pad = self.padding if self.padding is not None else _torch_pad(self.kernel)
+        y = conv3d(x, k, stride=self.stride, padding=pad, dilation=self.dilation)
         y = batch_norm(y, self.param("bn_scale", nn.initializers.ones, (self.cout,)),
-                       self.param("bn_bias", nn.initializers.zeros, (self.cout,)))
+                       self.param("bn_bias", nn.initializers.zeros, (self.cout,)),
+                       eps=_BN_EPS)
         return jax.nn.relu(y) if self.relu else y
 
 
@@ -87,19 +111,21 @@ class _BlockConv(nn.Module):
     def __call__(self, x):
         if self.kind == "simple":
             k = self.param("kernel", _kaiming_out, (3, 3, 3, self.cin, self.cout))
-            return conv3d(x, k, stride=self.stride, padding="SAME")
+            return conv3d(x, k, stride=self.stride, padding=(1, 1, 1))
         if self.kind == "no_temporal":
             k = self.param("kernel", _kaiming_out, (1, 3, 3, self.cin, self.cout))
             return conv3d(x, k, stride=(1, self.stride[1], self.stride[2]),
-                          padding="SAME")
+                          padding=(0, 1, 1))
         mid = _midplanes(self.cin, self.cout)
         k1 = self.param("kernel_s", _kaiming_out, (1, 3, 3, self.cin, mid))
-        y = conv3d(x, k1, stride=(1, self.stride[1], self.stride[2]), padding="SAME")
+        y = conv3d(x, k1, stride=(1, self.stride[1], self.stride[2]),
+                   padding=(0, 1, 1))
         y = batch_norm(y, self.param("bn_scale", nn.initializers.ones, (mid,)),
-                       self.param("bn_bias", nn.initializers.zeros, (mid,)))
+                       self.param("bn_bias", nn.initializers.zeros, (mid,)),
+                       eps=_BN_EPS)
         y = jax.nn.relu(y)
         k2 = self.param("kernel_t", _kaiming_out, (3, 1, 1, mid, self.cout))
-        return conv3d(y, k2, stride=(self.stride[0], 1, 1), padding="SAME")
+        return conv3d(y, k2, stride=(self.stride[0], 1, 1), padding=(1, 0, 0))
 
 
 class _BasicBlock(nn.Module):
@@ -115,11 +141,13 @@ class _BasicBlock(nn.Module):
         stride3 = (s, s, s) if self.kind != "no_temporal" else (1, s, s)
         y = _BlockConv(self.kind, self.cin, self.planes, stride3, name="conv1")(x)
         y = batch_norm(y, self.param("bn1_scale", nn.initializers.ones, (self.planes,)),
-                       self.param("bn1_bias", nn.initializers.zeros, (self.planes,)))
+                       self.param("bn1_bias", nn.initializers.zeros, (self.planes,)),
+                       eps=_BN_EPS)
         y = jax.nn.relu(y)
         y = _BlockConv(self.kind, self.planes, self.planes, (1, 1, 1), name="conv2")(y)
         y = batch_norm(y, self.param("bn2_scale", nn.initializers.ones, (self.planes,)),
-                       self.param("bn2_bias", nn.initializers.zeros, (self.planes,)))
+                       self.param("bn2_bias", nn.initializers.zeros, (self.planes,)),
+                       eps=_BN_EPS)
 
         residual = x
         if self.stride != 1 or self.cin != self.planes:
@@ -131,11 +159,12 @@ class _BasicBlock(nn.Module):
                 k = self.param("ds_kernel", _kaiming_out, (1, 1, 1, self.cin, self.planes))
                 stride_ds = (self.stride,) * 3 if self.kind != "no_temporal" \
                     else (1, self.stride, self.stride)
-                residual = conv3d(x, k, stride=stride_ds, padding="SAME")
+                residual = conv3d(x, k, stride=stride_ds, padding=(0, 0, 0))
             residual = batch_norm(
                 residual,
                 self.param("ds_bn_scale", nn.initializers.ones, (self.planes,)),
-                self.param("ds_bn_bias", nn.initializers.zeros, (self.planes,)))
+                self.param("ds_bn_bias", nn.initializers.zeros, (self.planes,)),
+                eps=_BN_EPS)
         return jax.nn.relu(y + residual)
 
 
@@ -193,23 +222,30 @@ class VideoResNet(nn.Module):
         so = cfg["stem_out"]
         if cfg["stem"] == "basic":  # torchvision: strided spatial stem
             y = _ConvBN(cin, so, (3, 7, 7), stride=(1, 2, 2), relu=True,
-                        name="stem")(xc)
-        elif cfg["stem"] == "dilated":  # nostride: stride 1, dilation (1,2,2)
+                        padding=(1, 3, 3), name="stem")(xc)
+        elif cfg["stem"] == "dilated":
+            # nostride: stride 1, dilation (1,2,2); SAME keeps the full
+            # 32x32 field (torch pad (1,3,3) would shrink it to 26x26 —
+            # see module docstring on the reference fork's intent).
             y = _ConvBN(cin, so, (3, 7, 7), stride=(1, 1, 1), dilation=(1, 2, 2),
-                        relu=True, name="stem")(xc)
+                        relu=True, padding="SAME", name="stem")(xc)
         elif cfg["stem"] == "basic_nostride":  # stride 1, no dilation
             y = _ConvBN(cin, so, (3, 7, 7), stride=(1, 1, 1), relu=True,
                         name="stem")(xc)
         else:  # r2plus1 stem
             y = _ConvBN(cin, 45, (1, 7, 7), stride=(1, 2, 2), relu=True,
-                        name="stem_s")(xc)
+                        padding=(0, 3, 3), name="stem_s")(xc)
             y = _ConvBN(45, so, (3, 1, 1), stride=(1, 1, 1), relu=True,
-                        name="stem_t")(y)
+                        padding=(1, 0, 0), name="stem_t")(y)
 
         inplanes = so
         for li, (kind, width, nblocks) in enumerate(
                 zip(cfg["kinds"], cfg["widths"], self.layers)):
-            stride = 2
+            # Upstream torchvision builds layer1 with stride 1 (the stem
+            # already strides); the reference's no-stride forks build EVERY
+            # layer with stride=2 (reference nostridetv.py:213-216), which
+            # in the stride-1 design governs the dilated downsample.
+            stride = 2 if (li > 0 or cfg["nostride"]) else 1
             for bi in range(nblocks):
                 y = _BasicBlock(kind, inplanes, width,
                                 stride=stride if bi == 0 else 1,

@@ -74,6 +74,12 @@ def load_params(path: str, template=None, strict: bool = True):
             raise ValueError(
                 "a reference torch checkpoint needs a parameter template to "
                 "import into; load through engine.load_ckpt/init_model")
+        if any(k.split("module.")[-1].startswith(("stem.", "layer1."))
+               for k in params):
+            # torchvision-layout video resnet (the reference's
+            # nostridetv/r3d family keeps torchvision naming)
+            return torch_import.import_video_resnet_state_dict(
+                params, template, strict=strict)
         return torch_import.import_reference_state_dict(
             params, template, strict=strict)
     if template is None:

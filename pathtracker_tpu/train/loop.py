@@ -78,7 +78,65 @@ def init_model(args, timesteps: int, in_channels: int = 3):
         variables = model.init(jax.random.key(args.seed), sample)
     else:
         variables = model.init(jax.random.key(args.seed), sample)
+    if getattr(args, "pretrained", False):
+        variables = dict(variables)
+        variables["params"] = load_pretrained(variables["params"], args.model)
     return model, variables
+
+
+# --model name -> torchvision checkpoint filename (reference
+# nostridetv.py:12-16 model_urls; the reference downloads these, we accept a
+# locally provided copy under $PATHTRACKER_PRETRAINED_DIR).
+_PRETRAINED_FILES = {
+    "r3d": "r3d_18_fc_rm1.pth",
+    "mc3": "mc3_18_fc_rm1.pth",
+    "r2plus1": "r2plus1d_18_fc_rm1.pth",
+}
+_PRETRAINED_ALIASES = {
+    "r3d": ("r3d_18.pth",),
+    "mc3": ("mc3_18.pth",),
+    "r2plus1": ("r2plus1d_18.pth",),
+}
+
+
+def load_pretrained(params, model_name: str):
+    """--pretrained with no network egress: look for a locally provided
+    torchvision video checkpoint under $PATHTRACKER_PRETRAINED_DIR (default
+    ./pretrained) and import it via train/torch_import.py (Kinetics
+    400-class head skipped, reference utils/engine.py:188-190 replaced it
+    too). Falls back to initialized weights with a warning — matching
+    round-1 behavior — when no file is present. The fac-narrowed no-stride
+    forks cannot take Kinetics weights (channel widths differ; the
+    reference's own strict load_state_dict would fail there as well)."""
+    import warnings
+
+    names = _PRETRAINED_FILES.get(model_name)
+    if names is None:
+        warnings.warn(
+            f"--pretrained: {model_name!r} has no torchvision checkpoint "
+            "counterpart (narrowed trunks); using the pretrained input "
+            "normalization only.", stacklevel=2)
+        return params
+    root = os.environ.get("PATHTRACKER_PRETRAINED_DIR",
+                          os.path.abspath("pretrained"))
+    candidates = [os.path.join(root, names)] + [
+        os.path.join(root, a) for a in _PRETRAINED_ALIASES.get(model_name, ())]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        warnings.warn(
+            "--pretrained: no local torchvision checkpoint found (looked for "
+            f"{candidates}); using the pretrained input normalization only. "
+            "Place the torchvision .pth there to load real weights.",
+            stacklevel=2)
+        return params
+    from pathtracker_tpu.train import torch_import
+
+    state = torch_import.load_torch_checkpoint(path)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    print(f"Loading pretrained torchvision weights from {path}")
+    return torch_import.import_video_resnet_state_dict(state, params,
+                                                       strict=False)
 
 
 def validate(val_loader, eval_step, params, args, results_folder,

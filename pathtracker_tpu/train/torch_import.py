@@ -140,6 +140,140 @@ def import_reference_state_dict(state_dict: dict, template: dict,
     return out
 
 
+_BN_STATS = re.compile(r"\.(running_mean|running_var|num_batches_tracked)$")
+
+
+def import_video_resnet_state_dict(state_dict: dict, template: dict,
+                                   strict: bool = True) -> dict:
+    """Map a torchvision-layout video-resnet `state_dict` (the reference's
+    r3d_18/mc3_18/r2plus1d_18 forks keep torchvision naming — reference
+    models/nostridetv.py:193-349) onto models/video_resnet.py's nested params.
+
+    Torchvision name -> here:
+        stem.0.weight                 -> stem/kernel          (OITHW -> THWIO)
+        stem.1.{weight,bias}          -> stem/bn_{scale,bias}
+        stem.{0,1,3,4}.* (r2plus1)    -> stem_s/*, stem_t/*
+        layerL.B.convI.0.weight       -> layerL_B/convI/kernel
+        layerL.B.convI.0.{0,1,3}.*    -> layerL_B/convI/{kernel_s,bn_*,kernel_t}
+        layerL.B.convI.1.{weight,bias}-> layerL_B/bnI_{scale,bias}
+        layerL.B.downsample.{0,1}.*   -> layerL_B/{ds_kernel,ds_bn_*}
+        fc.{weight,bias}              -> fc_{kernel,bias}
+
+    BatchNorm running statistics are dropped: this framework's norms are
+    batch-stat by design (track_running_stats=False stance). A Kinetics
+    400-class `fc` that does not match a 1-unit template head is skipped —
+    the reference replaced the head after loading too (reference
+    utils/engine.py:188-190)."""
+    out = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in template.items()}
+    r2plus1 = any(k.endswith("stem.3.weight") for k in state_dict)
+    filled = set()
+    unmapped = []
+
+    def _path(key: str):
+        m = re.match(r"^stem\.(\d+)\.(weight|bias)$", key)
+        if m:
+            idx, leaf = int(m.group(1)), m.group(2)
+            if r2plus1:
+                mod = {0: ("stem_s", "kernel"), 1: ("stem_s", "bn"),
+                       3: ("stem_t", "kernel"), 4: ("stem_t", "bn")}[idx]
+            else:
+                mod = {0: ("stem", "kernel"), 1: ("stem", "bn")}[idx]
+            name, kind = mod
+            if kind == "kernel":
+                return (name, "kernel")
+            return (name, "bn_scale" if leaf == "weight" else "bn_bias")
+        m = re.match(r"^layer(\d+)\.(\d+)\.conv([12])\.0\.weight$", key)
+        if m:
+            return (f"layer{m.group(1)}_{m.group(2)}", f"conv{m.group(3)}",
+                    "kernel")
+        m = re.match(r"^layer(\d+)\.(\d+)\.conv([12])\.0\.(\d+)\.(weight|bias)$",
+                     key)
+        if m:
+            blk = f"layer{m.group(1)}_{m.group(2)}"
+            conv = f"conv{m.group(3)}"
+            sub, leaf = int(m.group(4)), m.group(5)
+            if sub == 0:
+                return (blk, conv, "kernel_s")
+            if sub == 1:
+                return (blk, conv, "bn_scale" if leaf == "weight" else "bn_bias")
+            if sub == 3:
+                return (blk, conv, "kernel_t")
+        m = re.match(r"^layer(\d+)\.(\d+)\.conv([12])\.1\.(weight|bias)$", key)
+        if m:
+            return (f"layer{m.group(1)}_{m.group(2)}",
+                    f"bn{m.group(3)}_scale" if m.group(4) == "weight"
+                    else f"bn{m.group(3)}_bias")
+        m = re.match(r"^layer(\d+)\.(\d+)\.downsample\.0\.weight$", key)
+        if m:
+            return (f"layer{m.group(1)}_{m.group(2)}", "ds_kernel")
+        m = re.match(r"^layer(\d+)\.(\d+)\.downsample\.1\.(weight|bias)$", key)
+        if m:
+            return (f"layer{m.group(1)}_{m.group(2)}",
+                    "ds_bn_scale" if m.group(3) == "weight" else "ds_bn_bias")
+        if key == "fc.weight":
+            return ("fc_kernel",)
+        if key == "fc.bias":
+            return ("fc_bias",)
+        return None
+
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if _BN_STATS.search(key):
+            continue
+        path = _path(key)
+        if path is None:
+            unmapped.append(key)
+            continue
+        node, tnode = out, template
+        for p in path[:-1]:
+            if not isinstance(tnode, dict) or p not in tnode:
+                tnode = None
+                break
+            node, tnode = node[p], tnode[p]
+        leaf = path[-1]
+        if tnode is None or leaf not in tnode:
+            unmapped.append(key)
+            continue
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value,
+            dtype=np.float32)
+        tshape = tuple(np.shape(tnode[leaf]))
+        if arr.ndim == 5:
+            arr = arr.transpose(2, 3, 4, 1, 0)  # OITHW -> THWIO
+        elif arr.ndim == 2:
+            arr = arr.T  # torch Linear [out,in] -> [in,out]
+        if tuple(arr.shape) != tshape:
+            if path[0] in ("fc_kernel", "fc_bias"):
+                continue  # Kinetics 400-class head vs 1-unit template: skip
+            raise ValueError(
+                f"cannot map {key} of shape {tuple(np.shape(value))} onto "
+                f"parameter {'/'.join(path)} of shape {tshape}")
+        node[leaf] = np.ascontiguousarray(arr)
+        filled.add("/".join(path))
+    if unmapped:
+        raise ValueError(
+            "torchvision checkpoint contains unmapped keys: "
+            f"{sorted(unmapped)}")
+    if strict:
+        def _missing(tmpl, node, prefix):
+            miss = []
+            for k, v in tmpl.items():
+                p = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    miss += _missing(v, node[k], p)
+                elif p not in filled and not p.startswith(("fc_",)):
+                    miss.append(p)
+            return miss
+
+        missing = _missing(template, out, "")
+        if missing:
+            raise ValueError(
+                f"torchvision checkpoint is missing parameters: {sorted(missing)}")
+    return out
+
+
 def load_torch_checkpoint(path: str):
     """torch.load a reference checkpoint file; returns the raw object
     (state_dict or wrapper dict) with tensors on CPU."""

@@ -168,6 +168,36 @@ def test_plot_results_panels_and_gifs(tmp_path):
     assert not list((tmp_path / "gif_0").glob("*.png"))
 
 
+def test_gabor_bank_matches_reference_asset():
+    """ops/gabor.py regenerates the reference's frozen conv0 stem
+    (reference utils/gabor_serre.npy, loaded at reference
+    models/convlstm.py:104-106 and ffstlstm.py:29) from its recovered
+    closed-form recipe — Serre-HMAX 7x7 S1 gabors (sigma 2.8, lambda 3.5,
+    gamma 0.3, 29-px circular aperture, mean-sub, unit-norm) over
+    orientations 90-15i deg in two phases, plus the unit-mean disk.
+    A reference-trained ConvLSTM checkpoint therefore reproduces bit-near
+    through this stem."""
+    from pathtracker_tpu.ops.gabor import gabor_bank, gabor_serre_bank
+
+    bank = gabor_serre_bank()
+    assert bank.shape == (25, 1, 7, 7) and bank.dtype == np.float32
+
+    ref_path = "/root/reference/utils/gabor_serre.npy"
+    if os.path.exists(ref_path):
+        ref = np.load(ref_path)
+        np.testing.assert_allclose(bank, ref, atol=1e-6)
+    else:  # structural invariants still pin the recipe
+        flat = bank[:24, 0].reshape(24, -1)
+        np.testing.assert_allclose(flat.sum(axis=1), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(flat, axis=1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(bank[24, 0].mean(), 1.0, atol=1e-6)
+
+    # HWIO orientation used by the flax models matches the OIHW bank.
+    hwio = gabor_bank(n_filters=25, size=7, in_channels=1)
+    np.testing.assert_allclose(np.transpose(hwio[:, :, 0, :], (2, 0, 1)),
+                               bank[:, 0], atol=0)
+
+
 def test_opts_reference_flag_surface():
     """Reference flags parse, including the launcher-only spellings the
     reference never defined (--b in viz_InT.sh, --which_tests, --set_name)."""
