@@ -82,6 +82,26 @@ def test_eval_flow(trained_run):
     assert os.path.exists(out)
 
 
+def test_eval_flow_writes_gifs(trained_run):
+    """prep_gifs > 0 on the eval flow must produce the per-clip GIF
+    artifacts for recurrent models (reference utils/engine.py:305-340 via
+    test_model.py:136-139), not just the npz."""
+    args, result = trained_run
+    from pathtracker_tpu.eval.test_model import evaluate_model
+    from pathtracker_tpu.train import checkpoint as ckpt_lib
+    from types import SimpleNamespace
+
+    eargs = SimpleNamespace(**vars(args))
+    eargs.ckpt = ckpt_lib.find_best_checkpoint(result["results_folder"])
+    evaluate_model(result["results_folder"], eargs, prep_gifs=2,
+                   dist=1, speed=1, length=8)
+    gifs = glob.glob(os.path.join(result["results_folder"],
+                                  "test_dist_1_speed_1_length_8",
+                                  "gif_*", "*.gif"))
+    assert len(gifs) >= 2, f"expected >=2 eval GIFs, found {gifs}"
+    assert all(os.path.getsize(g) > 0 for g in gifs)
+
+
 def test_viz_flow(trained_run, monkeypatch):
     args, result = trained_run
     from pathtracker_tpu.data import registry
