@@ -29,6 +29,9 @@ from pathtracker_tpu.models.video_resnet import _kaiming_out
 from pathtracker_tpu.ops.layers import batch_norm, conv3d, dense
 
 
+_BN_EPS = 1e-5  # FAIR slowfast BN epsilon (torch BatchNorm3d default)
+
+
 class _ConvBN3d(nn.Module):
     cin: int
     cout: int
@@ -40,10 +43,17 @@ class _ConvBN3d(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.param("kernel", _kaiming_out, (*self.kernel, self.cin, self.cout))
-        y = conv3d(x, k, stride=self.stride, padding="SAME")
+        # torch-style symmetric padding (k//2 per dim), matching FAIR's
+        # Conv3d modules — for strided convs (the fuse conv's temporal
+        # stride alpha, the stage (1,3,3) stride-2 convs) this places
+        # windows differently from XLA SAME and only the explicit form
+        # reproduces torch numerics (tests/test_slowfast_oracle.py).
+        pad = tuple(kk // 2 for kk in self.kernel)
+        y = conv3d(x, k, stride=self.stride, padding=pad)
         init = nn.initializers.zeros if self.zero_bn else nn.initializers.ones
         y = batch_norm(y, self.param("bn_scale", init, (self.cout,)),
-                       self.param("bn_bias", nn.initializers.zeros, (self.cout,)))
+                       self.param("bn_bias", nn.initializers.zeros, (self.cout,)),
+                       eps=_BN_EPS)
         return jax.nn.relu(y) if self.relu else y
 
 
