@@ -65,12 +65,21 @@ class ConvLSTM(nn.Module):
         k = self.filt_size
         fan_x = c * k * k
 
-        # Frozen Gabor stem: constant, not a trainable param (the reference
-        # loaded gabor_serre.npy into conv0 and never froze it explicitly,
-        # but treats it as a fixed filter bank).
-        gab = jnp.asarray(gabor_bank(n_filters=c, size=7, in_channels=x.shape[1]))
+        # Gabor stem: a TRAINABLE parameter initialized to the exact
+        # gabor_serre bank — the reference loads the asset into conv0 and
+        # never freezes it (reference convlstm.py:104-106; conv0 sits in
+        # the optimizer), so reference-trained checkpoints carry a drifted
+        # stem and import must restore it (tests/test_torch_import.py).
+        in_ch = x.shape[1]
+        gab = self.param(
+            "conv0_kernel",
+            lambda _k, _s: jnp.asarray(
+                gabor_bank(n_filters=c, size=7, in_channels=in_ch)),
+            (7, 7, in_ch, c))
+        conv0_bias = self.param("conv0_bias", pt_init.torch_conv_bias(in_ch * 49),
+                                (c,))
         xc = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
-        feat = jnp.square(conv2d(xc, gab))  # conv0 + x^2 (reference :118-119)
+        feat = jnp.square(conv2d(xc, gab, conv0_bias))  # conv0 + x^2 (:118-119)
 
         gates = {}
         for g in ("i", "f", "c", "o"):

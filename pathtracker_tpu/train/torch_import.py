@@ -48,6 +48,14 @@ _UNUSED_REFERENCE_KEYS = re.compile(r"^bn\.(weight|bias)$")
 _NAME_RULES = [
     (re.compile(r"^preproc\.weight$"), lambda m: "preproc_kernel"),
     (re.compile(r"^preproc\.bias$"), lambda m: "preproc_bias"),
+    # ConvLSTM (reference models/convlstm.py:104-115): trainable Gabor stem,
+    # wrapper BN (real there, unlike FFhGRU's dead one), 1x1 conv6 head.
+    (re.compile(r"^conv0\.weight$"), lambda m: "conv0_kernel"),
+    (re.compile(r"^conv0\.bias$"), lambda m: "conv0_bias"),
+    (re.compile(r"^conv6\.weight$"), lambda m: "conv6_kernel"),
+    (re.compile(r"^conv6\.bias$"), lambda m: "conv6_bias"),
+    (re.compile(r"^bn\.weight$"), lambda m: "bn_scale"),
+    (re.compile(r"^bn\.bias$"), lambda m: "bn_bias"),
     (re.compile(r"^unit1\.bn\.(\d+)\.weight$"), lambda m: f"bn{m.group(1)}_scale"),
     (re.compile(r"^unit1\.bn\.(\d+)\.bias$"), lambda m: f"bn{m.group(1)}_bias"),
     (re.compile(r"^unit1\.([A-Za-z_0-9]+)\.weight$"), lambda m: f"{m.group(1)}_kernel"),
@@ -117,10 +125,14 @@ def import_reference_state_dict(state_dict: dict, template: dict,
     for key, value in state_dict.items():
         if key.startswith("module."):  # DataParallel prefix
             key = key[len("module."):]
-        if _UNUSED_REFERENCE_KEYS.match(key):
-            continue
         name = _map_name(key)
         if name is None or name not in template:
+            # bn.* maps to bn_scale/bn_bias where the model has a wrapper
+            # BN (ConvLSTM); FFhGRU's wrapper BN is defined-but-dead in
+            # the reference (ffhgru_hierarchy.py:186) and has no
+            # counterpart here — drop it only when the template lacks it.
+            if _UNUSED_REFERENCE_KEYS.match(key):
+                continue
             unmapped.append(key)
             continue
         arr = np.asarray(
@@ -287,6 +299,12 @@ def load_torch_checkpoint(path: str):
 _EXPORT_RULES = [
     (re.compile(r"^preproc_kernel$"), lambda m: "preproc.weight"),
     (re.compile(r"^preproc_bias$"), lambda m: "preproc.bias"),
+    (re.compile(r"^conv0_kernel$"), lambda m: "conv0.weight"),
+    (re.compile(r"^conv0_bias$"), lambda m: "conv0.bias"),
+    (re.compile(r"^conv6_kernel$"), lambda m: "conv6.weight"),
+    (re.compile(r"^conv6_bias$"), lambda m: "conv6.bias"),
+    (re.compile(r"^bn_scale$"), lambda m: "bn.weight"),
+    (re.compile(r"^bn_bias$"), lambda m: "bn.bias"),
     (re.compile(r"^bn(\d+)_scale$"), lambda m: f"unit1.bn.{m.group(1)}.weight"),
     (re.compile(r"^bn(\d+)_bias$"), lambda m: f"unit1.bn.{m.group(1)}.bias"),
     (re.compile(r"^readout_conv_kernel$"), lambda m: "readout_conv.weight"),
@@ -321,6 +339,8 @@ def export_reference_state_dict(params: dict) -> dict:
             raise ValueError(f"no reference counterpart for parameter {name!r}")
         if key == "preproc.weight":
             arr = arr.T[:, :, None, None, None]  # [3,C] -> [C,3,1,1,1]
+        elif key == "conv6.weight":
+            arr = arr.T[:, :, None, None]  # [C,2] matmul -> [2,C,1,1] conv
         elif key == "readout_conv.weight" or (
                 key.endswith(".weight") and key.startswith("unit1.")
                 and arr.ndim == 2 and "dense" not in key):

@@ -257,3 +257,46 @@ def test_convgru_checkpoint_imports(tmp_path):
     logit = model.apply({"params": params}, jnp.asarray(x), testmode=True)[0]
     np.testing.assert_allclose(np.asarray(logit), ref_logit.numpy(),
                                atol=1e-3, rtol=5e-3)
+
+
+def test_convlstm_checkpoint_roundtrips_through_reference_code(tmp_path):
+    """Reference ConvLSTM checkpoints (trainable Gabor stem conv0, cell
+    convs, wrapper BN, conv6 head — reference models/convlstm.py:93-115)
+    import and reproduce the reference code's output map on the same static
+    image. The reference's conv0 sits in its optimizer (never frozen), so
+    the import must carry the stem weights, not assume the pristine bank."""
+    import os as _os
+
+    from pathtracker_tpu.models.convlstm import ConvLSTM
+
+    sys.path.insert(0, "/root/reference")
+    cwd = _os.getcwd()
+    try:
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        _os.chdir("/root/reference")  # convlstm loads utils/gabor_serre.npy
+        import models.convlstm as ref_convlstm
+
+        torch.manual_seed(7)
+        ref = ref_convlstm.ConvLSTM(timesteps=4, filt_size=5)
+        # Perturb conv0 like training drift would, so the test cannot pass
+        # by regenerating the pristine bank.
+        with torch.no_grad():
+            ref.conv0.weight.add_(0.01 * torch.randn_like(ref.conv0.weight))
+    finally:
+        _os.chdir(cwd)
+        sys.path.remove("/root/reference")
+
+    ref.eval()  # skips the autograd jv-penalty branch; BN stays batch-stat
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 1, 16, 16)).astype(np.float32)
+    dummy_criterion = lambda o, t: torch.tensor(0.0)  # noqa: E731
+    with torch.no_grad():
+        ref_out, _, _ = ref(torch.from_numpy(x), 0, 0, None, dummy_criterion,
+                            testmode=True)
+
+    model = ConvLSTM(timesteps=4, filt_size=5)
+    variables = model.init(jax.random.key(3), jnp.asarray(x))
+    params = _save_and_import(tmp_path, ref.state_dict(), variables["params"])
+    out, _ = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               atol=1e-3, rtol=5e-3)
