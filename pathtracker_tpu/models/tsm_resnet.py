@@ -57,8 +57,11 @@ class _ConvBN(nn.Module):
                        (self.kernel, self.kernel, self.cin // self.groups, self.cout))
         y = conv2d(x, k, stride=self.stride, padding="SAME", groups=self.groups)
         init = nn.initializers.zeros if self.zero_bn else nn.initializers.ones
+        # torch BatchNorm2d eps (reference resnet_TSM.py uses defaults); all
+        # convs here are stride-1 so SAME padding equals torch's k//2.
         y = batch_norm(y, self.param("bn_scale", init, (self.cout,)),
-                       self.param("bn_bias", nn.initializers.zeros, (self.cout,)))
+                       self.param("bn_bias", nn.initializers.zeros, (self.cout,)),
+                       eps=1e-5)
         return jax.nn.relu(y) if self.relu else y
 
 
