@@ -101,11 +101,82 @@ def measure(batch: int = 128, timesteps: int = 64, iters: int = 20,
     }
 
 
+def measure_model(model_name: str, batch: int, timesteps: int = 64,
+                  iters: int = 10, warmup: int = 3, bf16: bool = True) -> dict:
+    """Full jitted train step (uint8 in, prep + forward + BCE + backward +
+    Adam) for any registry model name — the zoo benchmark path. Same
+    pipelined-window protocol as measure()."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from pathtracker_tpu.train.loop import init_model
+    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
+
+    args = SimpleNamespace(model=model_name, bf16=bf16, seed=0,
+                           dimensions=32, fb_kernel_size=7, pretrained=False,
+                           algo="bptt", penalty=False)
+    model, variables = init_model(args, timesteps)
+    params = variables["params"]
+    optimizer = make_optimizer(3e-4)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model, model_name, optimizer)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(batch, timesteps, 32, 32, 3),
+                        dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(batch,), dtype=np.uint8)
+    imgs = jax.device_put(imgs)
+    labels = jax.device_put(labels)
+
+    for _ in range(warmup):
+        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+    float(stats["loss"])
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+        float(stats["loss"])
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(np.asarray(lat), 50))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+    float(stats["loss"])
+    pipelined = batch * iters / (time.perf_counter() - t0)
+    return {
+        "model": model_name,
+        "clips_per_sec": round(pipelined, 2),
+        "p50_batch_latency_s": round(p50, 4),
+        "batch": batch,
+        "timesteps": timesteps,
+    }
+
+
 def main():
     # Batch 128 sits at the measured latency cliff: step latency is flat
     # (~0.19 s) for batch <= 128 and doubles above it (measured 64/96/128 ->
     # 0.205/0.190/0.189 s; 160/192/256 -> 0.398/0.396/0.391 s), so 128 is
     # the throughput optimum (671 vs 653 clips/s at 256).
+    # BENCH_MODEL sweeps a non-InT zoo model instead of the headline
+    # (one JSON line, same pipelined-window protocol).
+    zoo_model = os.environ.get("BENCH_MODEL")
+    if zoo_model:
+        res = measure_model(
+            zoo_model,
+            batch=int(os.environ.get("BENCH_BATCH", 64)),
+            timesteps=int(os.environ.get("BENCH_T", 64)),
+            iters=int(os.environ.get("BENCH_ITERS", 10)),
+            bf16=not int(os.environ.get("BENCH_F32", 0)))
+        print(json.dumps({
+            "metric": f"{zoo_model} fwd+bwd clips/sec/chip, "
+                      f"{res['timesteps']}-frame PathTracker",
+            "value": res["clips_per_sec"], "unit": "clips/sec/chip",
+            "vs_baseline": 1.0, "protocol": "pipelined_window", **res}))
+        return
+
     batch = int(os.environ.get("BENCH_BATCH", 128))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     res = measure(batch=batch, iters=iters,

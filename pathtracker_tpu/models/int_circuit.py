@@ -37,6 +37,7 @@ deliberate upgrade (documented in SURVEY.md §7 hard-part b).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -53,6 +54,97 @@ from pathtracker_tpu.ops.layers import (batch_norm, conv2d, dense,
 
 def _nl(name: str):
     return {"softplus": softplus, "tanh": jnp.tanh}[name]
+
+
+def _int_cell_step_fused_core(shape, w_inh, w_exc, fp, xt, carry):
+    """Fused-kernel variant of the default cell (attention on, inhibition
+    on, softplus, mixed bf16): the three elementwise/gate phases run as
+    Pallas kernels with hand-derived backward (ops/int_fused.py); the two
+    k x k convs and the BN statistics stay in XLA. `fp` carries the packed
+    parameter forms (block-diagonal gate matrices, lane-tiled per-channel
+    params) hoisted out of the scan.
+
+    Everything flows in the PACKED [B*H*W*C/128, 128] layout (`shape` is
+    the static [B,H,W,C] spatial view, entered only at the two convs):
+    packed arrays have a 128-lane minor dim, so neither HBM tiling nor the
+    Pallas block specs pad them — C=32-minor layouts pad 4x in HBM, which
+    is the difference between fitting and OOM at batch 128 (see the
+    step-remat note below). Numerics match _int_cell_step on the mixed
+    path (tests/test_int_fused.py)."""
+    from pathtracker_tpu.ops import int_fused as F
+
+    inp_p, attx_p, gix_p = xt
+    inh_p, exc_p = carry
+    c = shape[-1]
+
+    def fconv(z_p, kern):
+        y = conv2d(F.unpack(z_p, shape), kern,
+                   mxu_dtype=jnp.bfloat16, keep_mxu_dtype=True)
+        return F.pack(y)
+
+    gated_p, att_p = F.k1_attention(exc_p, attx_p, fp["a_u_bd"],
+                                    fp["a_u_b_t"])
+    ci_p = fconv(gated_p, w_inh)
+    mean0, rstd0 = F.packed_stats(ci_p, c)
+    new_inh_p = F.k2_inhibition(
+        ci_p, mean0, rstd0, fp["bn0_scale_t"], fp["bn0_bias_t"],
+        inp_p, gix_p, inh_p, fp["i_u_bd"], fp["i_u_b_t"],
+        fp["alpha_t"], fp["mu_t"])
+    ce_p = fconv(new_inh_p, w_exc)
+    mean1, rstd1 = F.packed_stats(ce_p, c)
+    new_exc_p = F.k3_excitation(
+        ce_p, mean1, rstd1, fp["bn1_scale_t"], fp["bn1_bias_t"],
+        new_inh_p, inh_p, gated_p, exc_p, fp["e_w_bd"], fp["e_w_b_t"],
+        fp["e_u_bd"], fp["e_u_b_t"], fp["kappa_t"], fp["gamma_t"])
+    return (new_inh_p, new_exc_p), att_p
+
+
+# Step-level manual remat: `jax.checkpoint` policies cannot drop residuals
+# saved by custom_vjp calls (they are opaque to partial eval), so wrapping
+# the per-phase kernels in the usual policy-remat stacks every phase's
+# inputs across all T steps (~12 GiB at batch 128 — OOMs the chip). This
+# custom_vjp saves ONLY the step inputs and re-runs the fused forward under
+# jax.vjp inside the backward, where the per-kernel custom bwds execute
+# transiently. Memory then matches the pure-XLA remat path.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _int_cell_step_fused(shape, w_inh, w_exc, fp, xt, carry):
+    return _int_cell_step_fused_core(shape, w_inh, w_exc, fp, xt, carry)
+
+
+def _fused_step_fwd(shape, w_inh, w_exc, fp, xt, carry):
+    out = _int_cell_step_fused_core(shape, w_inh, w_exc, fp, xt, carry)
+    return out, (w_inh, w_exc, fp, xt, carry)
+
+
+def _fused_step_bwd(shape, res, cots):
+    _, vjp = jax.vjp(
+        lambda *a: _int_cell_step_fused_core(shape, *a), *res)
+    return vjp(cots)
+
+
+_int_cell_step_fused.defvjp(_fused_step_fwd, _fused_step_bwd)
+
+
+def _fused_params(cp, mxu, c):
+    """Packed parameter forms for the fused cell — built once per call;
+    differentiable (tile/blockdiag backprop sums the copies)."""
+    from pathtracker_tpu.ops import int_fused as F
+
+    t = functools.partial(F.tile_param, c=c)
+    return dict(
+        a_u_bd=F.blockdiag(cp["a_u"].astype(mxu), c),
+        a_u_b_t=t(cp["a_u_b"]),
+        i_u_bd=F.blockdiag(cp["i_u"].astype(mxu), c),
+        i_u_b_t=t(cp["i_u_b"]),
+        e_w_bd=F.blockdiag(cp["e_w"].astype(mxu), c),
+        e_w_b_t=t(cp["e_w_b"]),
+        e_u_bd=F.blockdiag(cp["e_u"].astype(mxu), c),
+        e_u_b_t=t(cp["e_u_b"]),
+        alpha_t=t(cp["alpha"]), mu_t=t(cp["mu"]),
+        kappa_t=t(cp["kappa"]), gamma_t=t(cp["gamma"]),
+        bn0_scale_t=t(cp["bn0_scale"]), bn0_bias_t=t(cp["bn0_bias"]),
+        bn1_scale_t=t(cp["bn1_scale"]), bn1_bias_t=t(cp["bn1_bias"]),
+    )
 
 
 def _int_cell_step(cp, xt, carry, *, use_attention, no_inh, act, mxu,
@@ -131,6 +223,17 @@ class InT(nn.Module):
     # forward values anyway); 'full' stores nothing but the carry
     # (reference-style minimal memory). Numerics are identical.
     remat_policy: str = "conv"
+    # Fused Pallas cell kernels for the elementwise/gate phases on the
+    # mixed-bf16 path (ops/int_fused.py). OFF by default: measured 5x
+    # SLOWER on TPU (156 vs 30 ms/step forward at batch 128/T=64) — the
+    # kernels themselves match XLA exactly (packed-XLA control: 156.7 ms),
+    # the entire loss is the packed<->spatial relayouts at the two conv
+    # boundaries, and the unpacked variant OOMs from 4x HBM tile padding
+    # on the per-step residual stacks. Kept as an opt-in with full parity
+    # tests (tests/test_int_fused.py); see results/tpu_experiments.md.
+    # Only applies to the default config (attention on, inhibition on,
+    # softplus, no lesions, bptt); other configs use the pure-XLA step.
+    fused: bool = False
     # Compute dtype policy: 'float32' runs everything f32 with
     # Precision.HIGHEST (reference parity); 'bfloat16' is the MIXED fast
     # path — MXU inputs cast to bf16 with f32 accumulation, while
@@ -229,7 +332,31 @@ class InT(nn.Module):
         step_kw = dict(use_attention=self.use_attention, no_inh=self.no_inh,
                        act=act, mxu=mxu)
 
+        # Fused Pallas cell (ops/int_fused.py): mixed-bf16 default config
+        # only — the f32 golden-parity path and the lesion/no-attention
+        # variants keep the pure-XLA step.
+        from pathtracker_tpu.ops import int_fused as _F
+
+        use_fused = (self.fused and mxu == jnp.bfloat16 and self.use_attention
+                     and not self.no_inh and self.nl == "softplus"
+                     and not self.lesion_alpha and not self.lesion_mu
+                     and not self.lesion_gamma and not self.lesion_kappa
+                     and "rbp" not in self.grad_method
+                     and _F.supported(c, b * h * w_ * c // _F.LANES))
+        fp = _fused_params(cp, mxu, c) if use_fused else None
+
+        shape = (b, h, w_, c)
+
         def step(carry, xt):
+            if use_fused:
+                new_carry, att = _int_cell_step_fused(
+                    shape, cp["w_inh"], cp["w_exc"], fp, xt, carry)
+                if testmode:
+                    exc_s = _F.unpack(new_carry[1], shape)
+                    att = _F.unpack(att, shape)
+                    return new_carry, (common.readout_state_map(ro, exc_s),
+                                       att)
+                return new_carry, None
             new_carry, att = _int_cell_step(cp, xt, carry, **step_kw)
             if testmode:
                 ys = (common.readout_state_map(ro, new_carry[1]), att)
@@ -237,7 +364,13 @@ class InT(nn.Module):
                 ys = None
             return new_carry, ys
 
-        if self.remat:
+        if use_fused:
+            # Packed [T, R, 128] xs / [R, 128] carry: the 128-lane minor dim
+            # avoids the 4x HBM tile padding a C=32 minor dim costs on the
+            # per-step residual stacks (see _int_cell_step_fused).
+            xs = jax.tree.map(lambda z: z.reshape(t, -1, _F.LANES), xs)
+
+        if self.remat and not use_fused:
             if self.remat_policy == "conv":
                 step = jax.checkpoint(
                     step,
@@ -250,7 +383,8 @@ class InT(nn.Module):
             else:
                 step = jax.checkpoint(step)
 
-        zeros = jnp.zeros((b, h, w_, c), xbn.dtype)
+        zeros = (jnp.zeros((b * h * w_ * c // _F.LANES, _F.LANES), xbn.dtype)
+                 if use_fused else jnp.zeros((b, h, w_, c), xbn.dtype))
         if "rbp" in self.grad_method and not testmode:
             # Neumann-series RBP (reference models/InT.py:10-55 dummyhgru):
             # unroll T-1 steps without gradient, take ONE differentiable step
@@ -280,6 +414,8 @@ class InT(nn.Module):
             (inh, exc), ys = jax.lax.scan(
                 step, (zeros, zeros), xs,
                 unroll=scan_unroll(self.timesteps))
+            if use_fused:
+                inh, exc = _F.unpack(inh, shape), _F.unpack(exc, shape)
 
         target_frame = xc[:, 0, :, :, 2]  # blue channel of frame 0
         logit = common.target_readout(ro, exc, target_frame).astype(jnp.float32)
