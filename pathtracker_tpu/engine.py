@@ -63,6 +63,11 @@ def model_selector(args, timesteps: int, device=None):
                 f"--algo {algo!r} is implemented for InT* and convlstm; "
                 f"{args.model!r} trains with bptt")
         kwargs["grad_method"] = algo
+    if family(args.model) == "slowfast":
+        # yaml is the SlowFast config surface (reference
+        # models/cfgs/*.yaml via slowfast_utils.py:13-17); --slowfast_cfg
+        # points at a modified cfg, else the in-repo default for the name.
+        kwargs["cfg_path"] = getattr(args, "slowfast_cfg", None)
     return _build(
         args.model,
         timesteps=timesteps,
@@ -73,12 +78,13 @@ def model_selector(args, timesteps: int, device=None):
     )
 
 
-def slowfast_pathways(imgs):
+def slowfast_pathways(imgs, alpha: int = SLOWFAST_ALPHA):
     """[slow, fast] pathway list (reference utils/engine.py:47-61): fast = all
     frames; slow = T//ALPHA frames sampled evenly with the same linspace/long
-    rounding as torch.index_select on linspace(0, T-1, T//ALPHA)."""
+    rounding as torch.index_select on linspace(0, T-1, T//ALPHA). ALPHA
+    follows the model's yaml cfg when a model is in scope (model_step)."""
     t = imgs.shape[2]
-    idx = np.linspace(0, t - 1, t // SLOWFAST_ALPHA).astype(np.int64)
+    idx = np.linspace(0, t - 1, t // alpha).astype(np.int64)
     slow = jnp.take(imgs, jnp.asarray(idx), axis=2)
     return [slow, imgs]
 
@@ -96,7 +102,10 @@ def model_step(model, params, imgs, model_name: str, test: bool = False,
         output = model.apply(params, imgs, **kw)
         jv_penalty = jnp.ones((1,), jnp.float32)
     elif fam == "slowfast":
-        output = model.apply(params, slowfast_pathways(imgs), **kw)
+        output = model.apply(
+            params,
+            slowfast_pathways(imgs, getattr(model, "alpha", SLOWFAST_ALPHA)),
+            **kw)
         jv_penalty = jnp.ones((1,), jnp.float32)
     else:
         if test:

@@ -64,6 +64,7 @@ class _Bottleneck(nn.Module):
     inner: int
     temp_kernel: int
     stride: int = 1
+    zero_final_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -71,8 +72,8 @@ class _Bottleneck(nn.Module):
         y = _ConvBN3d(self.cin, self.inner, (self.temp_kernel, 1, 1), name="a")(x)
         y = _ConvBN3d(self.inner, self.inner, (1, 3, 3),
                       stride=(1, self.stride, self.stride), name="b")(y)
-        y = _ConvBN3d(self.inner, cout, (1, 1, 1), relu=False, zero_bn=True,
-                      name="c")(y)
+        y = _ConvBN3d(self.inner, cout, (1, 1, 1), relu=False,
+                      zero_bn=self.zero_final_bn, name="c")(y)
         if self.cin != cout or self.stride != 1:
             res = _ConvBN3d(self.cin, cout, (1, 1, 1),
                             stride=(1, self.stride, self.stride), relu=False,
@@ -123,9 +124,13 @@ class SlowFast(nn.Module):
     fusion_kernel: int = 7
     width: int = 64
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    # Per-stage spatial stride of the first block (RESNET.SPATIAL_STRIDES
+    # slow-path column in the yaml).
+    stage_strides: Sequence[int] = (1, 2, 2, 2)
     num_classes: int = 1
     dropout_rate: float = 0.5
     nonlocal_slow: Sequence[Sequence[int]] = ((), (), (), ())
+    zero_init_final_bn: bool = True  # RESNET.ZERO_INIT_FINAL_BN
 
     @nn.compact
     def __call__(self, pathways, testmode: bool = False):
@@ -158,15 +163,17 @@ class SlowFast(nn.Module):
 
         # Stage configs: (inner width, spatial stride, slow temp kernel).
         inners = [w, w * 2, w * 4, w * 8]
-        strides = [1, 2, 2, 2]
+        strides = list(self.stage_strides)
         slow_tk = [1, 1, 3, 3]  # temporal convs only in res4/res5 (slow path)
         for si, nblocks in enumerate(self.stage_blocks):
             for bi in range(nblocks):
                 slow = _Bottleneck(slow.shape[-1], inners[si], slow_tk[si],
                                    stride=strides[si] if bi == 0 else 1,
+                                   zero_final_bn=self.zero_init_final_bn,
                                    name=f"slow_res{si + 2}_{bi}")(slow)
                 fast = _Bottleneck(fast.shape[-1], inners[si] // self.beta_inv, 3,
                                    stride=strides[si] if bi == 0 else 1,
+                                   zero_final_bn=self.zero_init_final_bn,
                                    name=f"fast_res{si + 2}_{bi}")(fast)
                 if bi in self.nonlocal_slow[si]:
                     slow = _NonLocal(slow.shape[-1],
@@ -191,10 +198,20 @@ class SlowFast(nn.Module):
         return dense(feat, head_k, head_b)
 
 
-def build(name: str, **kwargs):
-    if name == "slowfast":
-        return SlowFast(fusion_kernel=7, **kwargs)
-    if name == "slowfast_nl":
-        return SlowFast(fusion_kernel=5,
-                        nonlocal_slow=((), (1, 3), (1, 3, 5), ()), **kwargs)
-    raise NotImplementedError(name)
+def build(name: str, cfg_path: str | None = None, **kwargs):
+    """Build a SlowFast variant from its yaml config.
+
+    The architecture comes from the yaml (``cfg_path``, defaulting to the
+    in-repo pathtracker_tpu/models/cfgs/<name>.yaml mirroring the
+    reference's cfg) via slowfast_cfg.load_slowfast_cfg; explicit kwargs
+    override yaml values — the reference's merge direction
+    (slowfast_utils.py:13-17, cfg file over defaults, caller last).
+    """
+    from pathtracker_tpu.models.slowfast_cfg import (DEFAULT_CFGS,
+                                                     load_slowfast_cfg)
+
+    if name not in DEFAULT_CFGS:
+        raise NotImplementedError(name)
+    cfg_kwargs = load_slowfast_cfg(cfg_path or DEFAULT_CFGS[name])
+    cfg_kwargs.update(kwargs)
+    return SlowFast(**cfg_kwargs)

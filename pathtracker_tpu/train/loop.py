@@ -74,7 +74,8 @@ def init_model(args, timesteps: int, in_channels: int = 3):
     c = in_channels + (2 if coord else 0)
     sample = jnp.zeros((2, c, timesteps, 32, 32), jnp.float32)
     if engine.family(args.model) == "slowfast":
-        sample = engine.slowfast_pathways(sample)
+        sample = engine.slowfast_pathways(
+            sample, getattr(model, "alpha", engine.SLOWFAST_ALPHA))
         variables = model.init(jax.random.key(args.seed), sample)
     else:
         variables = model.init(jax.random.key(args.seed), sample)

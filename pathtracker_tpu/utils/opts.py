@@ -20,6 +20,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="add the Jacobian stability penalty to the loss")
     parser.add_argument("--pretrained", default=False, action="store_true")
     parser.add_argument("--optical_flow", default=False, action="store_true")
+    parser.add_argument("--slowfast_cfg", type=str, default=None,
+                        help="fvcore-style yaml overriding the in-repo "
+                             "SlowFast architecture cfg (reference "
+                             "models/cfgs/*.yaml schema)")
 
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--dist", type=int)
