@@ -36,6 +36,7 @@ import numpy as np
 from flax import linen as nn
 
 from pathtracker_tpu.models import common
+from pathtracker_tpu.ops import favor
 from pathtracker_tpu.ops import initializers as pt_init
 from pathtracker_tpu.ops.layers import conv2d, dense, global_avg_pool, softplus
 
@@ -230,13 +231,13 @@ class PerformerModel(nn.Module):
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             qf = _favor_features(q, proj, is_query=True)  # [B,N,H,M]
             kf = _favor_features(k, proj, is_query=False, seq_axis=1)
-            # Causal linear attention via prefix sums along the sequence.
-            kv = jnp.einsum("bnhm,bnhd->bnhmd", kf, v)
-            kv_cum = jnp.cumsum(kv, axis=1)
-            k_cum = jnp.cumsum(kf, axis=1)
-            num = jnp.einsum("bnhm,bnhmd->bnhd", qf, kv_cum)
-            den = jnp.einsum("bnhm,bnhm->bnh", qf, k_cum)[..., None]
-            att = (num / (den + 1e-6)).reshape(b, -1, inner)
+            # Causal linear attention in the chunked-scan form: the naive
+            # prefix-sum over kf x v outer products materializes
+            # [B, N, H, M, D] — 137 GB at the T=64 reference shape, measured
+            # OOM (BASELINE.md zoo table). ops/favor.py carries only the
+            # running [B,H,M,D] state; chunk = one frame of tokens.
+            att = favor.causal_linear_attention(
+                qf, kf, v, chunk_size=h * w_).reshape(b, -1, inner)
             tokens = tokens + dense(att, out_k)
             tokens = tokens + _MLP(c, c * 4, name=f"ff{layer}")(
                 _layer_norm(self, f"ln_f{layer}", tokens))
