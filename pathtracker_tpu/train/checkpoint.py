@@ -80,6 +80,10 @@ def load_params(path: str, template=None, strict: bool = True):
             # nostridetv/r3d family keeps torchvision naming)
             return torch_import.import_video_resnet_state_dict(
                 params, template, strict=strict)
+        if torch_import.looks_like_slowfast_state_dict(params):
+            # FAIR pyslowfast layout (the reference's slowfast/slowfast_nl)
+            return torch_import.import_slowfast_state_dict(
+                params, template, strict=strict)
         return torch_import.import_reference_state_dict(
             params, template, strict=strict)
     if template is None:

@@ -294,6 +294,220 @@ def load_torch_checkpoint(path: str):
     return torch.load(path, map_location="cpu")
 
 
+# --- SlowFast: FAIR pyslowfast layout <-> models/slowfast.py ----------------
+
+# The reference built FAIR's SlowFast (reference models/slowfast_utils.py:13)
+# whose state_dict uses the pyslowfast module naming:
+#   s1.pathway{0,1}_stem.{conv.weight, bn.weight/bias/running_*}
+#   s{j}_fuse.{conv_f2s.weight, bn.*}                      j in 1..4
+#   s{j}.pathway{p}_res{b}.branch1{,_bn}.*                 (projection)
+#   s{j}.pathway{p}_res{b}.branch2.{a,b,c}{,_bn}.*         j in 2..5
+#   s{j}.pathway0_nonlocal{b}.{conv_theta,conv_phi,conv_g,conv_out,bn}.*
+#   head.projection.{weight,bias}
+# pathway0 = slow, pathway1 = fast; FAIR convs carry no bias.
+
+
+def looks_like_slowfast_state_dict(state_dict) -> bool:
+    return isinstance(state_dict, dict) and any(
+        isinstance(k, str) and "pathway" in k.split("module.")[-1]
+        for k in state_dict)
+
+
+def _slowfast_path(key: str):
+    """FAIR key -> path into models/slowfast.py's nested params (or None)."""
+    def bn_leaf(leaf):
+        return "bn_scale" if leaf == "weight" else "bn_bias"
+
+    m = re.match(r"^s1\.pathway([01])_stem\.conv\.weight$", key)
+    if m:
+        return (("slow_stem", "fast_stem")[int(m.group(1))], "kernel")
+    m = re.match(r"^s1\.pathway([01])_stem\.bn\.(weight|bias)$", key)
+    if m:
+        return (("slow_stem", "fast_stem")[int(m.group(1))],
+                bn_leaf(m.group(2)))
+    m = re.match(r"^s(\d)_fuse\.conv_f2s\.weight$", key)
+    if m:
+        return (f"fuse{int(m.group(1)) - 1}", "kernel")
+    m = re.match(r"^s(\d)_fuse\.bn\.(weight|bias)$", key)
+    if m:
+        return (f"fuse{int(m.group(1)) - 1}", bn_leaf(m.group(2)))
+    m = re.match(r"^s(\d)\.pathway([01])_res(\d+)\.branch1\.weight$", key)
+    if m:
+        pw = ("slow", "fast")[int(m.group(2))]
+        return (f"{pw}_res{m.group(1)}_{m.group(3)}", "proj", "kernel")
+    m = re.match(r"^s(\d)\.pathway([01])_res(\d+)\.branch1_bn\.(weight|bias)$",
+                 key)
+    if m:
+        pw = ("slow", "fast")[int(m.group(2))]
+        return (f"{pw}_res{m.group(1)}_{m.group(3)}", "proj",
+                bn_leaf(m.group(4)))
+    m = re.match(r"^s(\d)\.pathway([01])_res(\d+)\.branch2\.([abc])\.weight$",
+                 key)
+    if m:
+        pw = ("slow", "fast")[int(m.group(2))]
+        return (f"{pw}_res{m.group(1)}_{m.group(3)}", m.group(4), "kernel")
+    m = re.match(
+        r"^s(\d)\.pathway([01])_res(\d+)\.branch2\.([abc])_bn\.(weight|bias)$",
+        key)
+    if m:
+        pw = ("slow", "fast")[int(m.group(2))]
+        return (f"{pw}_res{m.group(1)}_{m.group(3)}", m.group(4),
+                bn_leaf(m.group(5)))
+    m = re.match(r"^s(\d)\.pathway0_nonlocal(\d+)\.conv_(theta|phi|g)\.weight$",
+                 key)
+    if m:
+        return (f"nl_res{m.group(1)}_{m.group(2)}", m.group(3), "kernel")
+    m = re.match(r"^s(\d)\.pathway0_nonlocal(\d+)\.conv_out\.weight$", key)
+    if m:
+        return (f"nl_res{m.group(1)}_{m.group(2)}", "out", "kernel")
+    m = re.match(r"^s(\d)\.pathway0_nonlocal(\d+)\.bn\.(weight|bias)$", key)
+    if m:
+        return (f"nl_res{m.group(1)}_{m.group(2)}", "out",
+                bn_leaf(m.group(3)))
+    if key == "head.projection.weight":
+        return ("head_kernel",)
+    if key == "head.projection.bias":
+        return ("head_bias",)
+    return None
+
+
+def import_slowfast_state_dict(state_dict: dict, template: dict,
+                               strict: bool = True) -> dict:
+    """Map a FAIR pyslowfast state_dict (the reference's trained slowfast /
+    slowfast_nl checkpoints) onto models/slowfast.py's nested params.
+
+    Conv weights transpose OITHW -> THWIO; the head transposes
+    [classes, feat] -> [feat, classes] (pathway concat order slow-then-fast
+    matches FAIR's head_helper). BN running statistics are dropped
+    (batch-stat norms by design); a Kinetics 400-class head that doesn't
+    match a 1-unit template is skipped, as the reference replaced heads
+    after loading too."""
+    out = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in template.items()}
+    filled = set()
+    unmapped = []
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if _BN_STATS.search(key):
+            continue
+        path = _slowfast_path(key)
+        if path is None:
+            unmapped.append(key)
+            continue
+        node, tnode = out, template
+        ok = True
+        for p in path[:-1]:
+            if not isinstance(tnode, dict) or p not in tnode:
+                ok = False
+                break
+            node, tnode = node[p], tnode[p]
+        if not ok or path[-1] not in tnode:
+            unmapped.append(key)
+            continue
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value,
+            dtype=np.float32)
+        if arr.ndim == 5:
+            arr = arr.transpose(2, 3, 4, 1, 0)  # OITHW -> THWIO
+        elif arr.ndim == 2:
+            arr = arr.T
+        tshape = tuple(np.shape(tnode[path[-1]]))
+        if tuple(arr.shape) != tshape:
+            if path[0] in ("head_kernel", "head_bias"):
+                continue  # Kinetics-class head vs 1-unit template
+            raise ValueError(
+                f"cannot map {key} of shape {tuple(np.shape(value))} onto "
+                f"parameter {'/'.join(path)} of shape {tshape}")
+        node[path[-1]] = np.ascontiguousarray(arr)
+        filled.add("/".join(path))
+    if unmapped:
+        raise ValueError(
+            f"slowfast checkpoint contains unmapped keys: {sorted(unmapped)}")
+    if strict:
+        def _missing(tmpl, prefix):
+            miss = []
+            for k, v in tmpl.items():
+                p = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    miss += _missing(v, p)
+                elif p not in filled and not p.startswith("head_"):
+                    miss.append(p)
+            return miss
+
+        missing = _missing(template, "")
+        if missing:
+            raise ValueError(
+                f"slowfast checkpoint is missing parameters: {sorted(missing)}")
+    return out
+
+
+def export_slowfast_state_dict(params: dict) -> dict:
+    """Inverse mapping: models/slowfast.py params -> FAIR pyslowfast
+    state_dict naming, so checkpoints trained here can be loaded by the
+    reference's own slowfast stack (or round-tripped as a mapping test)."""
+    import torch
+
+    def emit(out, key, arr):
+        arr = np.asarray(arr, np.float32)
+        if arr.ndim == 5:
+            arr = arr.transpose(4, 3, 0, 1, 2)  # THWIO -> OITHW
+        elif arr.ndim == 2:
+            arr = arr.T
+        out[key] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    out = {}
+    for name, value in params.items():
+        if name == "head_kernel":
+            emit(out, "head.projection.weight", value)
+            continue
+        if name == "head_bias":
+            emit(out, "head.projection.bias", value)
+            continue
+        m = re.match(r"^(slow|fast)_stem$", name)
+        if m:
+            pw = 0 if m.group(1) == "slow" else 1
+            emit(out, f"s1.pathway{pw}_stem.conv.weight", value["kernel"])
+            emit(out, f"s1.pathway{pw}_stem.bn.weight", value["bn_scale"])
+            emit(out, f"s1.pathway{pw}_stem.bn.bias", value["bn_bias"])
+            continue
+        m = re.match(r"^fuse(\d)$", name)
+        if m:
+            j = int(m.group(1)) + 1
+            emit(out, f"s{j}_fuse.conv_f2s.weight", value["kernel"])
+            emit(out, f"s{j}_fuse.bn.weight", value["bn_scale"])
+            emit(out, f"s{j}_fuse.bn.bias", value["bn_bias"])
+            continue
+        m = re.match(r"^(slow|fast)_res(\d)_(\d+)$", name)
+        if m:
+            pw = 0 if m.group(1) == "slow" else 1
+            base = f"s{m.group(2)}.pathway{pw}_res{m.group(3)}"
+            for branch in ("a", "b", "c"):
+                emit(out, f"{base}.branch2.{branch}.weight",
+                     value[branch]["kernel"])
+                emit(out, f"{base}.branch2.{branch}_bn.weight",
+                     value[branch]["bn_scale"])
+                emit(out, f"{base}.branch2.{branch}_bn.bias",
+                     value[branch]["bn_bias"])
+            if "proj" in value:
+                emit(out, f"{base}.branch1.weight", value["proj"]["kernel"])
+                emit(out, f"{base}.branch1_bn.weight",
+                     value["proj"]["bn_scale"])
+                emit(out, f"{base}.branch1_bn.bias", value["proj"]["bn_bias"])
+            continue
+        m = re.match(r"^nl_res(\d)_(\d+)$", name)
+        if m:
+            base = f"s{m.group(1)}.pathway0_nonlocal{m.group(2)}"
+            for mod in ("theta", "phi", "g"):
+                emit(out, f"{base}.conv_{mod}.weight", value[mod]["kernel"])
+            emit(out, f"{base}.conv_out.weight", value["out"]["kernel"])
+            emit(out, f"{base}.bn.weight", value["out"]["bn_scale"])
+            emit(out, f"{base}.bn.bias", value["out"]["bn_bias"])
+            continue
+        raise ValueError(f"no FAIR slowfast counterpart for {name!r}")
+    return out
+
+
 # --- export: this framework -> reference torch layout -----------------------
 
 _EXPORT_RULES = [
