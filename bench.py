@@ -36,6 +36,40 @@ if (os.environ.get("PALLAS_AXON_POOL_IPS") and os.path.isdir(_AXON_SITE)
         import sitecustomize  # noqa: F401
 
 
+def _time_train_step(train_step, params, opt_state, imgs, labels,
+                     iters: int, warmup: int) -> dict:
+    """One timing protocol for every benchmark: warmup + one true sync
+    (a host fetch — block_until_ready returns early on the axon backend),
+    a per-step-fetch p50 loop, then the pipelined window (N chained steps
+    consuming donated buffers, one sync) that a training loop actually
+    sustains — the per-step loop charges the ~27 ms tunnel round trip of
+    its stats fetch to every step, a tunnel artifact, not a framework
+    cost."""
+    batch = imgs.shape[0]
+    for _ in range(warmup):
+        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+    float(stats["loss"])
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+        float(stats["loss"])
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(np.asarray(lat), 50))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
+    float(stats["loss"])
+    pipelined = batch * iters / (time.perf_counter() - t0)
+    return {
+        "clips_per_sec": pipelined,
+        "p50_batch_latency_s": p50,
+        "per_step_fetch_clips_per_sec": batch / p50,
+    }
+
+
 def measure(batch: int = 128, timesteps: int = 64, iters: int = 20,
             warmup: int = 3, bf16: bool = True,
             remat_policy: str = "conv") -> dict:
@@ -64,37 +98,10 @@ def measure(batch: int = 128, timesteps: int = 64, iters: int = 20,
     imgs = jax.device_put(imgs)
     labels = jax.device_put(labels)
 
-    for _ in range(warmup):
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-    float(stats["loss"])  # host fetch: the only true sync on the axon backend
-    # (block_until_ready returns before execution completes there).
-
-    lat = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-        float(stats["loss"])
-        lat.append(time.perf_counter() - t0)
-    lat = np.asarray(lat)
-    p50 = float(np.percentile(lat, 50))
-
-    # Pipelined throughput: chain `iters` steps (each consumes the previous
-    # step's donated params/opt-state, so the device runs them back-to-back)
-    # and sync once at the end. The per-step loop above charges the ~27 ms
-    # tunnel round trip of its stats fetch to every step — a tunnel
-    # artifact, not a framework cost (a production host fetch is ~0.1 ms);
-    # this form amortizes one fetch over the whole window and is the
-    # throughput a training loop actually sustains.
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-    float(stats["loss"])
-    pipelined = batch * iters / (time.perf_counter() - t0)
-
+    res = _time_train_step(train_step, params, opt_state, imgs, labels,
+                           iters, warmup)
     return {
-        "clips_per_sec": pipelined,
-        "p50_batch_latency_s": p50,
-        "per_step_fetch_clips_per_sec": batch / p50,
+        **res,
         "batch": batch,
         "timesteps": timesteps,
         "device": str(jax.devices()[0]),
@@ -115,12 +122,17 @@ def measure_model(model_name: str, batch: int, timesteps: int = 64,
 
     args = SimpleNamespace(model=model_name, bf16=bf16, seed=0,
                            dimensions=32, fb_kernel_size=7, pretrained=False,
-                           algo="bptt", penalty=False)
+                           algo="bptt", penalty=False, slowfast_cfg=None)
     model, variables = init_model(args, timesteps)
     params = variables["params"]
     optimizer = make_optimizer(3e-4)
     opt_state = optimizer.init(params)
-    train_step = make_train_step(model, model_name, optimizer)
+    # Coordinate-channel models init with 5 input channels; the step's
+    # prepare must append the meshgrid channels to match (loop.py does the
+    # same for training runs).
+    coord = "_cc" in model_name and model_name != "nostride_video_cc_small"
+    train_step = make_train_step(model, model_name, optimizer,
+                                 prepare_kwargs={"coord_channels": coord})
 
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 255, size=(batch, timesteps, 32, 32, 3),
@@ -129,27 +141,12 @@ def measure_model(model_name: str, batch: int, timesteps: int = 64,
     imgs = jax.device_put(imgs)
     labels = jax.device_put(labels)
 
-    for _ in range(warmup):
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-    float(stats["loss"])
-
-    lat = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-        float(stats["loss"])
-        lat.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(np.asarray(lat), 50))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-    float(stats["loss"])
-    pipelined = batch * iters / (time.perf_counter() - t0)
+    res = _time_train_step(train_step, params, opt_state, imgs, labels,
+                           iters, warmup)
     return {
         "model": model_name,
-        "clips_per_sec": round(pipelined, 2),
-        "p50_batch_latency_s": round(p50, 4),
+        "clips_per_sec": round(res["clips_per_sec"], 2),
+        "p50_batch_latency_s": round(res["p50_batch_latency_s"], 4),
         "batch": batch,
         "timesteps": timesteps,
     }

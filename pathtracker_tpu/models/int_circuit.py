@@ -342,7 +342,7 @@ class InT(nn.Module):
                      and not self.lesion_alpha and not self.lesion_mu
                      and not self.lesion_gamma and not self.lesion_kappa
                      and "rbp" not in self.grad_method
-                     and _F.supported(c, b * h * w_ * c // _F.LANES))
+                     and _F.supported(c, b * h * w_ * c))
         fp = _fused_params(cp, mxu, c) if use_fused else None
 
         shape = (b, h, w_, c)

@@ -79,15 +79,27 @@ def load_slowfast_cfg(path: str) -> dict:
 
     strides = get("RESNET", "SPATIAL_STRIDES", None)
     if strides is not None:
-        kwargs["stage_strides"] = tuple(int(s[0]) for s in strides)
+        try:
+            kwargs["stage_strides"] = tuple(int(s[0]) for s in strides)
+        except (TypeError, IndexError) as e:
+            raise ValueError(
+                "RESNET.SPATIAL_STRIDES must be a list of [slow, fast] "
+                f"pairs (fvcore schema): {path}") from e
 
     nl = get("NONLOCAL", "LOCATION", None)
     if nl is not None:
-        if any(stage[1] for stage in nl):
+        try:
+            slow_nl = [stage[0] for stage in nl]
+            fast_nl = [stage[1] for stage in nl]
+        except (TypeError, IndexError) as e:
+            raise ValueError(
+                "NONLOCAL.LOCATION must be a list of [slow_blocks, "
+                f"fast_blocks] pairs per stage (fvcore schema): {path}") from e
+        if any(fast_nl):
             raise ValueError(
                 f"fast-pathway NONLOCAL.LOCATION is not supported: {path}")
-        kwargs["nonlocal_slow"] = tuple(tuple(int(b) for b in stage[0])
-                                        for stage in nl)
+        kwargs["nonlocal_slow"] = tuple(tuple(int(b) for b in stage)
+                                        for stage in slow_nl)
 
     n_stages = len(kwargs["stage_blocks"])
     for key in ("stage_strides", "nonlocal_slow"):

@@ -85,10 +85,12 @@ def blockdiag(u, c):
     return jnp.einsum("ij,ab->iajb", eye, u).reshape(n * c, n * c)
 
 
-def supported(c: int, rows_packed_total: int) -> bool:
-    """Fused path preconditions: channels pack the 128 lanes exactly and the
-    packed row count tiles into aligned blocks."""
-    return (LANES % c == 0 and rows_packed_total % 8 == 0)
+def supported(c: int, total_elements: int) -> bool:
+    """Fused path preconditions: channels pack the 128 lanes exactly, the
+    total element count reshapes into [rows, 128] with no remainder, and
+    the packed row count tiles into aligned blocks."""
+    return (LANES % c == 0 and total_elements % LANES == 0
+            and (total_elements // LANES) % 8 == 0)
 
 
 def _grid(n_rows):

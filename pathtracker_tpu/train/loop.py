@@ -76,9 +76,7 @@ def init_model(args, timesteps: int, in_channels: int = 3):
     if engine.family(args.model) == "slowfast":
         sample = engine.slowfast_pathways(
             sample, getattr(model, "alpha", engine.SLOWFAST_ALPHA))
-        variables = model.init(jax.random.key(args.seed), sample)
-    else:
-        variables = model.init(jax.random.key(args.seed), sample)
+    variables = model.init(jax.random.key(args.seed), sample)
     if getattr(args, "pretrained", False):
         variables = dict(variables)
         variables["params"] = load_pretrained(variables["params"], args.model)

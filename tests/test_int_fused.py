@@ -82,3 +82,16 @@ def test_unsupported_channels_fall_back():
     params = model.init(jax.random.key(0), x)["params"]
     logit, _ = model.apply({"params": params}, x)
     assert logit.shape == (2, 1)
+
+
+def test_nondivisible_total_falls_back():
+    """b*h*w*c not a multiple of 128 (but whose floor-divided row count is
+    block-aligned) must fall back to the XLA step, not crash in the packed
+    reshape: x of [1,3,2,3,11] gives 2112 elements, 2112 % 128 = 32 yet
+    2112 // 128 = 16 which is 8-aligned — the round-2 review repro."""
+    model = InT(dimensions=32, timesteps=2, kernel_size=3, dtype="bfloat16",
+                fused=True)
+    x = jnp.zeros((1, 3, 2, 3, 11), jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    logit, _ = model.apply({"params": params}, x)
+    assert logit.shape == (1, 1)

@@ -122,3 +122,18 @@ def test_cli_flag_reaches_builder(tmp_path):
 def test_default_cfg_files_exist():
     for path in DEFAULT_CFGS.values():
         assert os.path.exists(path), path
+
+
+def test_structurally_malformed_cfgs_raise_valueerror(tmp_path):
+    # Single-element NONLOCAL stages (missing the fast list) and scalar
+    # SPATIAL_STRIDES must fail with a ValueError naming the file, not a
+    # raw IndexError/TypeError from deep inside the parser.
+    p = tmp_path / "nl_short.yaml"
+    p.write_text("NONLOCAL:\n  LOCATION: [[[1, 3]], [[]], [[]], [[]]]\n")
+    with pytest.raises(ValueError, match="NONLOCAL.LOCATION"):
+        load_slowfast_cfg(str(p))
+
+    p2 = tmp_path / "strides_scalar.yaml"
+    p2.write_text("RESNET:\n  SPATIAL_STRIDES: [1, 2, 2, 2]\n")
+    with pytest.raises(ValueError, match="SPATIAL_STRIDES"):
+        load_slowfast_cfg(str(p2))
