@@ -74,6 +74,11 @@ def load_params(path: str, template=None, strict: bool = True):
             raise ValueError(
                 "a reference torch checkpoint needs a parameter template to "
                 "import into; load through engine.load_ckpt/init_model")
+        if torch_import.looks_like_tsm_resnet_state_dict(params):
+            # 2-D torchvision-resnet trunk: the reference's resnet_TSM
+            # (rntsm) or a plain ImageNet resnet (bare conv1/bn1/layerL.B)
+            return torch_import.import_tsm_resnet_state_dict(
+                params, template, strict=strict)
         if any(k.split("module.")[-1].startswith(("stem.", "layer1."))
                for k in params):
             # torchvision-layout video resnet (the reference's

@@ -294,6 +294,198 @@ def load_torch_checkpoint(path: str):
     return torch.load(path, map_location="cpu")
 
 
+# --- TSM-ResNet: reference resnet_TSM / torchvision-resnet layout -----------
+
+# The reference's rntsm is a 2-D torchvision-style ResNet with TSM shifts
+# and MotionSqueeze (reference models/resnet_TSM.py:233-330): trunk keys
+# conv1/bn1/layerL.B.{convI,bnI,downsample.{0,1}}, plus
+# chnl_reduction.{0,1} (conv+BN Sequential, :257-261),
+# flow_refinement.convN.{0,1,3,4} (dw-conv,BN,pw-conv,BN per stage,
+# :180-212), and the Conv1d head fc1 (:269). Plain ImageNet torchvision
+# resnet state_dicts (the `model_urls` weights the reference downloaded)
+# share the trunk naming and import the same way with strict=False.
+
+
+def looks_like_tsm_resnet_state_dict(state_dict) -> bool:
+    keys = {k.split("module.")[-1] for k in state_dict
+            if isinstance(k, str)}
+    return ("conv1.weight" in keys
+            and any(k.startswith("layer1.0.conv1.weight") for k in keys))
+
+
+def _tsm_path(key: str):
+    def bn_leaf(leaf):
+        return "bn_scale" if leaf == "weight" else "bn_bias"
+
+    if key == "conv1.weight":
+        return ("stem", "kernel")
+    m = re.match(r"^bn1\.(weight|bias)$", key)
+    if m:
+        return ("stem", bn_leaf(m.group(1)))
+    m = re.match(r"^layer(\d)\.(\d+)\.conv(\d)\.weight$", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", f"conv{m.group(3)}",
+                "kernel")
+    m = re.match(r"^layer(\d)\.(\d+)\.bn(\d)\.(weight|bias)$", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", f"conv{m.group(3)}",
+                bn_leaf(m.group(4)))
+    m = re.match(r"^layer(\d)\.(\d+)\.downsample\.0\.weight$", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", "down", "kernel")
+    m = re.match(r"^layer(\d)\.(\d+)\.downsample\.1\.(weight|bias)$", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", "down", bn_leaf(m.group(3)))
+    if key == "chnl_reduction.0.weight":
+        return ("chnl_reduction", "kernel")
+    m = re.match(r"^chnl_reduction\.1\.(weight|bias)$", key)
+    if m:
+        return ("chnl_reduction", bn_leaf(m.group(1)))
+    m = re.match(r"^flow_refinement\.conv(\d)\.([0134])\.(weight|bias)$", key)
+    if m:
+        n, sub, leaf = m.group(1), int(m.group(2)), m.group(3)
+        mod = f"dw{n}" if sub in (0, 1) else f"pw{n}"
+        if sub in (0, 3):
+            return ("flow_refinement", mod, "kernel")
+        return ("flow_refinement", mod, bn_leaf(leaf))
+    if key in ("fc1.weight", "fc.weight"):
+        return ("fc1_kernel",)
+    if key in ("fc1.bias", "fc.bias"):
+        return ("fc1_bias",)
+    return None
+
+
+def import_tsm_resnet_state_dict(state_dict: dict, template: dict,
+                                 strict: bool = True) -> dict:
+    """Map a reference resnet_TSM (or plain torchvision resnet) state_dict
+    onto models/tsm_resnet.py's nested params. Conv weights transpose
+    OIHW -> HWIO (grouped dw convs keep [k,k,1,C] <-> [C,1,k,k]); the
+    Conv1d head fc1 [cls,C,1] maps to the dense [C,cls]; an ImageNet
+    1000-class fc that doesn't match the template head is skipped. BN
+    running statistics are dropped (batch-stat norms by design). Use
+    strict=False for ImageNet trunks, which lack the MotionSqueeze and
+    head parameters."""
+    out = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in template.items()}
+    filled = set()
+    unmapped = []
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if _BN_STATS.search(key):
+            continue
+        path = _tsm_path(key)
+        if path is None:
+            unmapped.append(key)
+            continue
+        node, tnode = out, template
+        ok = True
+        for p in path[:-1]:
+            if not isinstance(tnode, dict) or p not in tnode:
+                ok = False
+                break
+            node, tnode = node[p], tnode[p]
+        if not ok or path[-1] not in tnode:
+            unmapped.append(key)
+            continue
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value,
+            dtype=np.float32)
+        if arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        elif arr.ndim == 3:  # Conv1d head [cls, C, 1]
+            arr = arr[..., 0].T
+        elif arr.ndim == 2:  # Linear fc [cls, C]
+            arr = arr.T
+        tshape = tuple(np.shape(tnode[path[-1]]))
+        if tuple(arr.shape) != tshape:
+            if path[0] in ("fc1_kernel", "fc1_bias"):
+                continue  # ImageNet/Kinetics class head vs template head
+            raise ValueError(
+                f"cannot map {key} of shape {tuple(np.shape(value))} onto "
+                f"parameter {'/'.join(path)} of shape {tshape}")
+        node[path[-1]] = np.ascontiguousarray(arr)
+        filled.add("/".join(path))
+    if unmapped:
+        raise ValueError(
+            f"TSM/resnet checkpoint contains unmapped keys: {sorted(unmapped)}")
+    if strict:
+        def _missing(tmpl, prefix):
+            miss = []
+            for k, v in tmpl.items():
+                p = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    miss += _missing(v, p)
+                elif p not in filled and not p.startswith("fc1_"):
+                    miss.append(p)
+            return miss
+
+        missing = _missing(template, "")
+        if missing:
+            raise ValueError(
+                f"TSM/resnet checkpoint is missing parameters: {sorted(missing)}")
+    return out
+
+
+def export_tsm_resnet_state_dict(params: dict) -> dict:
+    """Inverse mapping: models/tsm_resnet.py params -> reference resnet_TSM
+    state_dict naming (torchvision trunk + MotionSqueeze modules + the
+    Conv1d head)."""
+    import torch
+
+    def emit(out, key, arr, conv1d=False):
+        arr = np.asarray(arr, np.float32)
+        if conv1d:
+            arr = arr.T[..., None]  # [C,cls] -> [cls,C,1]
+        elif arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        out[key] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    def emit_convbn(out, base_conv, base_bn, mod):
+        emit(out, base_conv, mod["kernel"])
+        emit(out, f"{base_bn}.weight", mod["bn_scale"])
+        emit(out, f"{base_bn}.bias", mod["bn_bias"])
+
+    out = {}
+    for name, value in params.items():
+        if name == "stem":
+            emit_convbn(out, "conv1.weight", "bn1", value)
+            continue
+        if name == "fc1_kernel":
+            emit(out, "fc1.weight", value, conv1d=True)
+            continue
+        if name == "fc1_bias":
+            emit(out, "fc1.bias", value)
+            continue
+        if name == "chnl_reduction":
+            emit_convbn(out, "chnl_reduction.0.weight", "chnl_reduction.1",
+                        value)
+            continue
+        if name == "flow_refinement":
+            for n in "1234":
+                emit_convbn(out, f"flow_refinement.conv{n}.0.weight",
+                            f"flow_refinement.conv{n}.1", value[f"dw{n}"])
+                emit_convbn(out, f"flow_refinement.conv{n}.3.weight",
+                            f"flow_refinement.conv{n}.4", value[f"pw{n}"])
+            continue
+        m = re.match(r"^layer(\d)_(\d+)$", name)
+        if m:
+            base = f"layer{m.group(1)}.{m.group(2)}"
+            for sub, mod in value.items():
+                cm = re.match(r"^conv(\d)$", sub)
+                if cm:
+                    emit_convbn(out, f"{base}.conv{cm.group(1)}.weight",
+                                f"{base}.bn{cm.group(1)}", mod)
+                elif sub == "down":
+                    emit_convbn(out, f"{base}.downsample.0.weight",
+                                f"{base}.downsample.1", mod)
+                else:
+                    raise ValueError(f"unknown block member {name}/{sub}")
+            continue
+        raise ValueError(f"no resnet_TSM counterpart for {name!r}")
+    return out
+
+
 # --- SlowFast: FAIR pyslowfast layout <-> models/slowfast.py ----------------
 
 # The reference built FAIR's SlowFast (reference models/slowfast_utils.py:13)
