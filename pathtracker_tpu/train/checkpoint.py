@@ -112,6 +112,11 @@ def find_best_checkpoint(results_folder: str) -> str:
     perfs = np.load(os.path.join(results_folder, "val.npz"))["balacc"]
     arg_perf = int(np.argmax(perfs))
     weights = glob.glob(os.path.join(results_folder, "saved_models", "*.tar"))
+    # The rolling last-epoch snapshot (train/loop.py) is not a best-val
+    # checkpoint; it is always the newest file, so mtime-indexing would
+    # otherwise pick it whenever the clamp fires.
+    weights = [w for w in weights
+               if os.path.basename(w) != "model_last_epoch_checkpoint.pth.tar"]
     weights.sort(key=os.path.getmtime)
     if not weights:
         raise FileNotFoundError(f"no checkpoints under {results_folder}/saved_models")

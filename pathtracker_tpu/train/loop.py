@@ -386,6 +386,19 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         with open(os.path.join(results_folder, args.name + ".txt"), "a+") as f:
             f.write(line + "\n")
         save_npz(val_log_dict, results_folder, "val")
+        # Rolling last-epoch checkpoint (one file, overwritten): the
+        # reference saves ONLY on val-acc improvement, so a long climb that
+        # never re-beats an early warm-start artifact peak leaves nothing
+        # recoverable when training later destabilizes (measured: the
+        # dist=14/T=64 run collapsed at epoch ~95 with best-at-epoch-1 and
+        # lost its 66%-val state). The best-ckpt convention is untouched;
+        # eval's best-ckpt selection ignores this file by name.
+        os.makedirs(os.path.join(results_folder, "saved_models"),
+                    exist_ok=True)
+        ckpt_lib.save_checkpoint(
+            os.path.join(results_folder, "saved_models",
+                         "model_last_epoch_checkpoint.pth.tar"),
+            params, epoch=epoch)
         ES(accv, params, epoch)
         if ES.early_stop:
             print("Early stopping triggered. Quitting.")

@@ -56,3 +56,25 @@ def test_find_best_checkpoint_selection(tmp_path):
              balacc=np.asarray([10.0, 90.0, 50.0]))
     best = find_best_checkpoint(folder)
     assert best.endswith("ckpt_1.tar")
+
+
+def test_find_best_ignores_rolling_last_epoch_snapshot(tmp_path):
+    """The rolling model_last_epoch_checkpoint.pth.tar (train/loop.py writes
+    it every epoch) is always the newest *.tar; best-ckpt selection must
+    skip it — with the clamp (argmax beyond the improving-epochs count) it
+    would otherwise always win."""
+    folder = str(tmp_path)
+    os.makedirs(os.path.join(folder, "saved_models"))
+    for i in range(2):
+        p = os.path.join(folder, "saved_models", f"ckpt_{i}.tar")
+        save_checkpoint(p, _params(), epoch=i)
+        t = time.time() - (3 - i) * 10
+        os.utime(p, (t, t))
+    rolling = os.path.join(folder, "saved_models",
+                           "model_last_epoch_checkpoint.pth.tar")
+    save_checkpoint(rolling, _params(), epoch=99)  # newest by mtime
+    # argmax at index 5 > number of best-checkpoints -> clamp fires.
+    np.savez(os.path.join(folder, "val"),
+             balacc=np.asarray([10.0, 20.0, 30.0, 40.0, 50.0, 90.0]))
+    best = find_best_checkpoint(folder)
+    assert best.endswith("ckpt_1.tar")

@@ -45,7 +45,10 @@ def test_train_artifacts(trained_run):
     # EarlyStopping checkpoint naming (reference utils/earlystopping.py:54)
     ckpts = glob.glob(os.path.join(folder, "saved_models", "*.pth.tar"))
     assert ckpts, "no checkpoints saved"
-    assert "model_val_acc_" in os.path.basename(ckpts[0])
+    names = {os.path.basename(c) for c in ckpts}
+    assert any(n.startswith("model_val_acc_") for n in names), names
+    # Rolling last-epoch snapshot (train/loop.py) exists alongside.
+    assert "model_last_epoch_checkpoint.pth.tar" in names
     assert np.isfinite(train["loss"]).all()
 
 
