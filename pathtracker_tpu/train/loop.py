@@ -260,7 +260,8 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     }
     np.savez(os.path.join(results_folder, "hp_dict"), **hp_dict)
 
-    optimizer = make_optimizer(args.lr)
+    optimizer = make_optimizer(args.lr,
+                               clip_grad=getattr(args, "clip_grad", None))
     if args.ckpt is not None:
         params = engine.load_ckpt(params, args.ckpt)
     opt_state = optimizer.init(params)

@@ -23,19 +23,29 @@ from pathtracker_tpu.engine import model_step
 from pathtracker_tpu.utils.metrics import acc_scores, bce_with_logits, eval_accuracy
 
 
-def make_optimizer(lr: float, lr_steps=None, gamma: float = 0.1
+def make_optimizer(lr: float, lr_steps=None, gamma: float = 0.1,
+                   clip_grad: float | None = None
                    ) -> optax.GradientTransformation:
     """Adam with torch defaults (reference mainclean.py:157).
 
     lr_steps: optional step boundaries for a StepLR-style piecewise decay
     (xgamma at each boundary). The reference *defined* a StepLR but never
     stepped it (reference mainclean.py:160) — the train loop matches that by
-    not passing lr_steps; the capability is here for real use."""
+    not passing lr_steps; the capability is here for real use.
+
+    clip_grad: optional global-norm gradient clip applied before Adam. The
+    reference's clip_grad_norm_ is print-only (`do=False`,
+    misc_functions.py:48-69) so the parity default is None; the long-horizon
+    recurrent configs (T=64 BPTT) occasionally emit large gradients that
+    destabilize an otherwise-converged run, and `--clip-grad` bounds them."""
+    adam = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     if lr_steps:
         schedule = optax.piecewise_constant_schedule(
             lr, {int(s): gamma for s in lr_steps})
-        return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+        adam = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    if clip_grad is not None:
+        return optax.chain(optax.clip_by_global_norm(clip_grad), adam)
+    return adam
 
 
 def make_train_step(model, model_name: str, optimizer, penalty: bool = False,

@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="with --device-data: chain K optimizer steps "
                              "inside one compiled program (lax.scan), one "
                              "dispatch + one stats fetch per window")
+    parser.add_argument("--clip-grad", type=float, default=None, metavar="NORM",
+                        dest="clip_grad",
+                        help="global-norm gradient clip before Adam (the "
+                             "reference's clip_grad_norm_ is print-only; "
+                             "default None keeps that parity)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="write a jax.profiler trace of post-compile train"
                              " steps to DIR (view with tensorboard/xprof)")

@@ -209,3 +209,39 @@ def test_fused_resident_steps_match_unfused():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6,
                                    err_msg=jax.tree_util.keystr(ka))
+
+
+def test_clip_grad_bounds_update():
+    """--clip-grad: global-norm clipping caps the effective gradient fed to
+    Adam; with a tiny clip the applied update shrinks accordingly, and with
+    clip=None the optimizer is plain Adam (reference parity — its
+    clip_grad_norm_ is print-only, misc_functions.py:48-69)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pathtracker_tpu.train.steps import make_optimizer
+
+    params = {"w": jnp.zeros((4,))}
+    grads = {"w": jnp.asarray([3.0, -4.0, 0.0, 0.0])}  # global norm 5
+
+    clipped = make_optimizer(1e-3, clip_grad=0.5)
+    st = clipped.init(params)
+    updates, _ = clipped.update(grads, st, params)
+    # After clipping to norm 0.5 the gradient direction is preserved; Adam's
+    # first-step update is -lr * sign-ish (m/sqrt(v) with eps), so compare
+    # against plain Adam fed the pre-clipped gradient explicitly.
+    ref = make_optimizer(1e-3)
+    strf = ref.init(params)
+    g_scaled = jax.tree.map(lambda g: g * (0.5 / 5.0), grads)
+    ref_updates, _ = ref.update(g_scaled, strf, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               np.asarray(ref_updates["w"]), rtol=1e-6)
+
+    # clip above the true norm is a no-op: identical to unclipped Adam.
+    loose = make_optimizer(1e-3, clip_grad=100.0)
+    stl = loose.init(params)
+    lupd, _ = loose.update(grads, stl, params)
+    nupd, _ = ref.update(grads, ref.init(params), params)
+    np.testing.assert_allclose(np.asarray(lupd["w"]), np.asarray(nupd["w"]),
+                               rtol=1e-6)
