@@ -247,6 +247,7 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         "start_epoch": args.start_epoch,
         "epochs": args.epochs,
         "lr": args.lr,
+        "clip_grad": str(getattr(args, "clip_grad", None)),
         "loaded_ckpt": str(args.ckpt),
         "results_dir": results_folder,
         "exp_name": args.name,
