@@ -36,6 +36,39 @@ if (os.environ.get("PALLAS_AXON_POOL_IPS") and os.path.isdir(_AXON_SITE)
         import sitecustomize  # noqa: F401
 
 
+def _require_backend(timeout_s: float) -> None:
+    """Fail fast when the device backend is unreachable.
+
+    jax.devices() BLOCKS (not raises) while a stale axon pool grant drains
+    after an abruptly-killed client, which would hang the benchmark (and
+    whatever harness invoked it) indefinitely. Probe device enumeration in
+    a daemon thread with a deadline and abort with rc=2 and a diagnostic
+    instead. $BENCH_BACKEND_TIMEOUT_S tunes the deadline (enumeration is
+    seconds when healthy; compile time is not charged against this)."""
+    import threading
+
+    out: dict = {}
+
+    def probe():
+        try:
+            import jax
+
+            out["devices"] = jax.devices()
+        except Exception as e:  # surfaced below on the main thread
+            out["error"] = e
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        print(f"bench: backend init did not respond within {timeout_s:.0f}s "
+              "(axon tunnel wedged?) — aborting instead of hanging",
+              file=sys.stderr, flush=True)
+        os._exit(2)
+    if "error" in out:
+        raise RuntimeError(f"bench: no usable backend: {out['error']}")
+
+
 def _time_train_step(train_step, params, opt_state, imgs, labels,
                      iters: int, warmup: int) -> dict:
     """One timing protocol for every benchmark: warmup + one true sync
@@ -153,6 +186,7 @@ def measure_model(model_name: str, batch: int, timesteps: int = 64,
 
 
 def main():
+    _require_backend(float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", 240)))
     # Batch 128 sits at the measured latency cliff: step latency is flat
     # (~0.19 s) for batch <= 128 and doubles above it (measured 64/96/128 ->
     # 0.205/0.190/0.189 s; 160/192/256 -> 0.398/0.396/0.391 s), so 128 is
