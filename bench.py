@@ -79,7 +79,7 @@ def _time_train_step(train_step, params, opt_state, imgs, labels,
     its stats fetch to every step, a tunnel artifact, not a framework
     cost."""
     batch = imgs.shape[0]
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):  # >=1: compile must not land in the timed loop
         params, opt_state, stats = train_step(params, opt_state, imgs, labels)
     float(stats["loss"])
 
@@ -163,7 +163,9 @@ def measure_model(model_name: str, batch: int, timesteps: int = 64,
     # Coordinate-channel models init with 5 input channels; the step's
     # prepare must append the meshgrid channels to match (loop.py does the
     # same for training runs).
-    coord = "_cc" in model_name and model_name != "nostride_video_cc_small"
+    from pathtracker_tpu.models.registry import needs_coord_channels
+
+    coord = needs_coord_channels(model_name)
     train_step = make_train_step(model, model_name, optimizer,
                                  prepare_kwargs={"coord_channels": coord})
 

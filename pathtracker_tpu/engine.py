@@ -20,7 +20,9 @@ from pathtracker_tpu.data.registry import (  # noqa: F401  (re-exported API)
     get_datasets,
     human_dataset_selector,
 )
-from pathtracker_tpu.models.registry import MODEL_FAMILY, family, model_selector as _build
+from pathtracker_tpu.models.registry import (MODEL_FAMILY, family,
+                                             needs_coord_channels,
+                                             model_selector as _build)
 from pathtracker_tpu.train import checkpoint as ckpt_lib
 
 TORCHVISION = [k for k, v in MODEL_FAMILY.items() if v == "torchvision"]
@@ -57,10 +59,11 @@ def model_selector(args, timesteps: int, device=None):
         # real — but only where the model implements it. Every other model
         # accepts grad_method as a field and ignores it, so passing it
         # through silently would mislabel BPTT runs as RBP.
-        if "rbp" in algo and not (args.model.startswith("InT")
-                                  or args.model == "convlstm"):
+        if "rbp" in algo and not args.model.startswith("InT"):
+            # (convlstm also implements RBP but is legacy-contract and not
+            # reachable through this CLI selector — see the guard above.)
             raise NotImplementedError(
-                f"--algo {algo!r} is implemented for InT* and convlstm; "
+                f"--algo {algo!r} is implemented for InT*; "
                 f"{args.model!r} trains with bptt")
         kwargs["grad_method"] = algo
     if family(args.model) == "slowfast":
@@ -123,7 +126,7 @@ def prepare_data(imgs, target, args, device=None, disentangle_channels: bool = F
     imgs: uint8 [B,T,H,W,3] numpy; target: uint8/byte labels.
     Returns (f32 [B,C,T,H,W] on device, f32 [B] targets)."""
     model_name = getattr(args, "model", "")
-    coord = "_cc" in model_name and model_name != "nostride_video_cc_small"
+    coord = needs_coord_channels(model_name)
     return prepare_batch(
         jnp.asarray(np.asarray(imgs)),
         jnp.asarray(np.asarray(target)),

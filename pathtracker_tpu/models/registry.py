@@ -30,23 +30,35 @@ def family(model_name: str) -> str:
     return MODEL_FAMILY.get(model_name, "recurrent")
 
 
+def needs_coord_channels(model_name: str) -> bool:
+    """Models whose stem takes 5 input channels (x + meshgrid coords
+    appended by data prep, reference utils/engine.py:249-254).
+    nostride_video_cc_small keeps '_cc' in its name but appends coords
+    INSIDE forward, so prep must not (reference nostridetv_cc_smallest.py)."""
+    return "_cc" in model_name and model_name != "nostride_video_cc_small"
+
+
 def model_selector(model_name: str, timesteps: int, fb_kernel_size: int = 7,
                    dimensions: int = 32, pretrained: bool = False, **kwargs: Any):
     """Build the model for a reference `--model` name."""
     from pathtracker_tpu.models import int_circuit
 
-    if pretrained:
+    if pretrained and model_name not in ("r3d", "mc3", "r2plus1"):
         # The reference downloaded Kinetics/ImageNet torchvision weights
         # (reference nostridetv.py:12-16, resnet_TSM.py model_urls); this
         # environment has no network egress and torch checkpoints don't map
-        # onto these re-designed trunks. --pretrained still selects the
+        # onto the fac-narrowed forks. --pretrained still selects the
         # ImageNet-video normalization in prepare_data (reference
-        # utils/engine.py:244-247); weights start from init.
+        # utils/engine.py:244-247); weights start from init. For the plain
+        # torchvision trunks (r3d/mc3/r2plus1) train/loop.py's
+        # load_pretrained owns the messaging: it loads a locally provided
+        # .pth from $PATHTRACKER_PRETRAINED_DIR, or warns if absent.
         import warnings
         warnings.warn(
-            "--pretrained: no pretrained weights are available offline; "
-            "using the pretrained input normalization only. Load weights "
-            "explicitly with --ckpt if you have a converted checkpoint.",
+            "--pretrained: no pretrained weights are available offline for "
+            f"{model_name!r}; using the pretrained input normalization "
+            "only. Load weights explicitly with --ckpt if you have a "
+            "converted checkpoint.",
             stacklevel=2)
 
     if model_name == "InT":

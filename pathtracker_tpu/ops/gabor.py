@@ -92,7 +92,10 @@ def _analytic_bank(n_filters: int, size: int) -> np.ndarray:
                  * np.cos(2 * np.pi * xr / lam + psi))
             g = g * mask
             g -= g.mean()
-            filters.append(g / np.linalg.norm(g))
+            norm = np.linalg.norm(g)
+            # Degenerate sizes (e.g. size=1: aperture + mean-subtract zero
+            # the filter) must not turn 0/0 into a NaN bank.
+            filters.append(g / (norm if norm > 1e-8 else 1.0))
     filters.append(mask / mask.mean())
     bank = np.stack(filters, axis=-1).astype(np.float32)  # [H,W,N]
     return bank[:, :, None, :]

@@ -70,7 +70,7 @@ def init_model(args, timesteps: int, in_channels: int = 3):
     import jax.numpy as jnp
 
     model = engine.model_selector(args, timesteps=timesteps)
-    coord = "_cc" in args.model and args.model != "nostride_video_cc_small"
+    coord = engine.needs_coord_channels(args.model)
     c = in_channels + (2 if coord else 0)
     sample = jnp.zeros((2, c, timesteps, 32, 32), jnp.float32)
     if engine.family(args.model) == "slowfast":
@@ -269,7 +269,7 @@ def main(args=None, max_steps_per_epoch: int | None = None):
 
     prep = {"disentangle_channels": disentangle_channels,
             "pretrained_norm": args.pretrained,
-            "coord_channels": "_cc" in args.model and args.model != "nostride_video_cc_small"}
+            "coord_channels": engine.needs_coord_channels(args.model)}
     if device_data:
         from pathtracker_tpu.data.resident import make_resident_train_step
 
@@ -308,6 +308,7 @@ def main(args=None, max_steps_per_epoch: int | None = None):
                        for _ in range(train_step.windows_per_epoch))
         else:
             batches = device_prefetch(iter(train_loader), sharding)
+        steps_done = 0  # optimizer steps (a fused window advances by k)
         for idx, (imgs, target) in enumerate(batches):
             meters["data_time"].update(time.perf_counter() - end)
             # Profiler hook (reference had only wall-clock meters; SURVEY §5):
@@ -358,7 +359,11 @@ def main(args=None, max_steps_per_epoch: int | None = None):
                 time_since_last = time_now
                 with open(os.path.join(results_folder, args.name + ".txt"), "a+") as f:
                     f.write(line + "\n")
-            if max_steps_per_epoch is not None and idx + 1 >= max_steps_per_epoch:
+            # Count OPTIMIZER steps, not loop iterations: under
+            # --fused-steps each iteration is a k-step window, and the cap
+            # is a step budget (tests rely on it meaning steps).
+            steps_done += n_sub
+            if max_steps_per_epoch is not None and steps_done >= max_steps_per_epoch:
                 break
 
         if trace_active:  # epoch shorter than the trace window

@@ -155,6 +155,82 @@ def import_reference_state_dict(state_dict: dict, template: dict,
 _BN_STATS = re.compile(r"\.(running_mean|running_var|num_batches_tracked)$")
 
 
+def _deep_copy_tree(template: dict) -> dict:
+    """Copy the dict structure (leaves shared) so filling imported values
+    never mutates the caller's template pytree."""
+    return {k: _deep_copy_tree(v) if isinstance(v, dict) else v
+            for k, v in template.items()}
+
+
+def _import_by_paths(state_dict: dict, template: dict, path_fn, transpose_fn,
+                     head_prefixes: tuple, what: str,
+                     strict: bool = True) -> dict:
+    """Shared importer scaffold for the torch-layout checkpoint mappers.
+
+    For each state_dict entry: strip a DataParallel ``module.`` prefix,
+    drop BatchNorm running statistics (batch-stat norms by design), walk
+    ``path_fn(key)`` into the nested ``template``, convert via
+    ``transpose_fn``, and fill the leaf. A class head whose shape doesn't
+    match the template (Kinetics/ImageNet heads vs our 1-unit readout —
+    ``path[0]`` starting with any of ``head_prefixes``) is skipped, as the
+    reference replaced heads after loading too. Unmapped keys raise; under
+    ``strict`` any unfilled non-head template parameter raises."""
+    out = _deep_copy_tree(template)
+    filled = set()
+    unmapped = []
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if _BN_STATS.search(key):
+            continue
+        path = path_fn(key)
+        if path is None:
+            unmapped.append(key)
+            continue
+        node, tnode = out, template
+        ok = True
+        for p in path[:-1]:
+            if not isinstance(tnode, dict) or p not in tnode:
+                ok = False
+                break
+            node, tnode = node[p], tnode[p]
+        if not ok or not isinstance(tnode, dict) or path[-1] not in tnode:
+            unmapped.append(key)
+            continue
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value,
+            dtype=np.float32)
+        arr = transpose_fn(arr)
+        tshape = tuple(np.shape(tnode[path[-1]]))
+        if tuple(arr.shape) != tshape:
+            if path[0].startswith(head_prefixes):
+                continue
+            raise ValueError(
+                f"cannot map {key} of shape {tuple(np.shape(value))} onto "
+                f"parameter {'/'.join(path)} of shape {tshape}")
+        node[path[-1]] = np.ascontiguousarray(arr)
+        filled.add("/".join(path))
+    if unmapped:
+        raise ValueError(
+            f"{what} checkpoint contains unmapped keys: {sorted(unmapped)}")
+    if strict:
+        def _missing(tmpl, prefix):
+            miss = []
+            for k, v in tmpl.items():
+                p = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    miss += _missing(v, p)
+                elif p not in filled and not p.startswith(head_prefixes):
+                    miss.append(p)
+            return miss
+
+        missing = _missing(template, "")
+        if missing:
+            raise ValueError(
+                f"{what} checkpoint is missing parameters: {sorted(missing)}")
+    return out
+
+
 def import_video_resnet_state_dict(state_dict: dict, template: dict,
                                    strict: bool = True) -> dict:
     """Map a torchvision-layout video-resnet `state_dict` (the reference's
@@ -176,11 +252,7 @@ def import_video_resnet_state_dict(state_dict: dict, template: dict,
     400-class `fc` that does not match a 1-unit template head is skipped —
     the reference replaced the head after loading too (reference
     utils/engine.py:188-190)."""
-    out = {k: (dict(v) if isinstance(v, dict) else v)
-           for k, v in template.items()}
     r2plus1 = any(k.endswith("stem.3.weight") for k in state_dict)
-    filled = set()
-    unmapped = []
 
     def _path(key: str):
         m = re.match(r"^stem\.(\d+)\.(weight|bias)$", key)
@@ -229,61 +301,15 @@ def import_video_resnet_state_dict(state_dict: dict, template: dict,
             return ("fc_bias",)
         return None
 
-    for key, value in state_dict.items():
-        if key.startswith("module."):
-            key = key[len("module."):]
-        if _BN_STATS.search(key):
-            continue
-        path = _path(key)
-        if path is None:
-            unmapped.append(key)
-            continue
-        node, tnode = out, template
-        for p in path[:-1]:
-            if not isinstance(tnode, dict) or p not in tnode:
-                tnode = None
-                break
-            node, tnode = node[p], tnode[p]
-        leaf = path[-1]
-        if tnode is None or leaf not in tnode:
-            unmapped.append(key)
-            continue
-        arr = np.asarray(
-            value.detach().cpu().numpy() if hasattr(value, "detach") else value,
-            dtype=np.float32)
-        tshape = tuple(np.shape(tnode[leaf]))
+    def _tr(arr):
         if arr.ndim == 5:
-            arr = arr.transpose(2, 3, 4, 1, 0)  # OITHW -> THWIO
-        elif arr.ndim == 2:
-            arr = arr.T  # torch Linear [out,in] -> [in,out]
-        if tuple(arr.shape) != tshape:
-            if path[0] in ("fc_kernel", "fc_bias"):
-                continue  # Kinetics 400-class head vs 1-unit template: skip
-            raise ValueError(
-                f"cannot map {key} of shape {tuple(np.shape(value))} onto "
-                f"parameter {'/'.join(path)} of shape {tshape}")
-        node[leaf] = np.ascontiguousarray(arr)
-        filled.add("/".join(path))
-    if unmapped:
-        raise ValueError(
-            "torchvision checkpoint contains unmapped keys: "
-            f"{sorted(unmapped)}")
-    if strict:
-        def _missing(tmpl, node, prefix):
-            miss = []
-            for k, v in tmpl.items():
-                p = f"{prefix}/{k}" if prefix else k
-                if isinstance(v, dict):
-                    miss += _missing(v, node[k], p)
-                elif p not in filled and not p.startswith(("fc_",)):
-                    miss.append(p)
-            return miss
+            return arr.transpose(2, 3, 4, 1, 0)  # OITHW -> THWIO
+        if arr.ndim == 2:
+            return arr.T  # torch Linear [out,in] -> [in,out]
+        return arr
 
-        missing = _missing(template, out, "")
-        if missing:
-            raise ValueError(
-                f"torchvision checkpoint is missing parameters: {sorted(missing)}")
-    return out
+    return _import_by_paths(state_dict, template, _path, _tr, ("fc_",),
+                            "torchvision", strict)
 
 
 def load_torch_checkpoint(path: str):
@@ -365,66 +391,17 @@ def import_tsm_resnet_state_dict(state_dict: dict, template: dict,
     running statistics are dropped (batch-stat norms by design). Use
     strict=False for ImageNet trunks, which lack the MotionSqueeze and
     head parameters."""
-    out = {k: (dict(v) if isinstance(v, dict) else v)
-           for k, v in template.items()}
-    filled = set()
-    unmapped = []
-    for key, value in state_dict.items():
-        if key.startswith("module."):
-            key = key[len("module."):]
-        if _BN_STATS.search(key):
-            continue
-        path = _tsm_path(key)
-        if path is None:
-            unmapped.append(key)
-            continue
-        node, tnode = out, template
-        ok = True
-        for p in path[:-1]:
-            if not isinstance(tnode, dict) or p not in tnode:
-                ok = False
-                break
-            node, tnode = node[p], tnode[p]
-        if not ok or path[-1] not in tnode:
-            unmapped.append(key)
-            continue
-        arr = np.asarray(
-            value.detach().cpu().numpy() if hasattr(value, "detach") else value,
-            dtype=np.float32)
+    def _tr(arr):
         if arr.ndim == 4:
-            arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
-        elif arr.ndim == 3:  # Conv1d head [cls, C, 1]
-            arr = arr[..., 0].T
-        elif arr.ndim == 2:  # Linear fc [cls, C]
-            arr = arr.T
-        tshape = tuple(np.shape(tnode[path[-1]]))
-        if tuple(arr.shape) != tshape:
-            if path[0] in ("fc1_kernel", "fc1_bias"):
-                continue  # ImageNet/Kinetics class head vs template head
-            raise ValueError(
-                f"cannot map {key} of shape {tuple(np.shape(value))} onto "
-                f"parameter {'/'.join(path)} of shape {tshape}")
-        node[path[-1]] = np.ascontiguousarray(arr)
-        filled.add("/".join(path))
-    if unmapped:
-        raise ValueError(
-            f"TSM/resnet checkpoint contains unmapped keys: {sorted(unmapped)}")
-    if strict:
-        def _missing(tmpl, prefix):
-            miss = []
-            for k, v in tmpl.items():
-                p = f"{prefix}/{k}" if prefix else k
-                if isinstance(v, dict):
-                    miss += _missing(v, p)
-                elif p not in filled and not p.startswith("fc1_"):
-                    miss.append(p)
-            return miss
+            return arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        if arr.ndim == 3:  # Conv1d head [cls, C, 1]
+            return arr[..., 0].T
+        if arr.ndim == 2:  # Linear fc [cls, C]
+            return arr.T
+        return arr
 
-        missing = _missing(template, "")
-        if missing:
-            raise ValueError(
-                f"TSM/resnet checkpoint is missing parameters: {sorted(missing)}")
-    return out
+    return _import_by_paths(state_dict, template, _tsm_path, _tr, ("fc1_",),
+                            "TSM/resnet", strict)
 
 
 def export_tsm_resnet_state_dict(params: dict) -> dict:
@@ -574,64 +551,15 @@ def import_slowfast_state_dict(state_dict: dict, template: dict,
     (batch-stat norms by design); a Kinetics 400-class head that doesn't
     match a 1-unit template is skipped, as the reference replaced heads
     after loading too."""
-    out = {k: (dict(v) if isinstance(v, dict) else v)
-           for k, v in template.items()}
-    filled = set()
-    unmapped = []
-    for key, value in state_dict.items():
-        if key.startswith("module."):
-            key = key[len("module."):]
-        if _BN_STATS.search(key):
-            continue
-        path = _slowfast_path(key)
-        if path is None:
-            unmapped.append(key)
-            continue
-        node, tnode = out, template
-        ok = True
-        for p in path[:-1]:
-            if not isinstance(tnode, dict) or p not in tnode:
-                ok = False
-                break
-            node, tnode = node[p], tnode[p]
-        if not ok or path[-1] not in tnode:
-            unmapped.append(key)
-            continue
-        arr = np.asarray(
-            value.detach().cpu().numpy() if hasattr(value, "detach") else value,
-            dtype=np.float32)
+    def _tr(arr):
         if arr.ndim == 5:
-            arr = arr.transpose(2, 3, 4, 1, 0)  # OITHW -> THWIO
-        elif arr.ndim == 2:
-            arr = arr.T
-        tshape = tuple(np.shape(tnode[path[-1]]))
-        if tuple(arr.shape) != tshape:
-            if path[0] in ("head_kernel", "head_bias"):
-                continue  # Kinetics-class head vs 1-unit template
-            raise ValueError(
-                f"cannot map {key} of shape {tuple(np.shape(value))} onto "
-                f"parameter {'/'.join(path)} of shape {tshape}")
-        node[path[-1]] = np.ascontiguousarray(arr)
-        filled.add("/".join(path))
-    if unmapped:
-        raise ValueError(
-            f"slowfast checkpoint contains unmapped keys: {sorted(unmapped)}")
-    if strict:
-        def _missing(tmpl, prefix):
-            miss = []
-            for k, v in tmpl.items():
-                p = f"{prefix}/{k}" if prefix else k
-                if isinstance(v, dict):
-                    miss += _missing(v, p)
-                elif p not in filled and not p.startswith("head_"):
-                    miss.append(p)
-            return miss
+            return arr.transpose(2, 3, 4, 1, 0)  # OITHW -> THWIO
+        if arr.ndim == 2:
+            return arr.T
+        return arr
 
-        missing = _missing(template, "")
-        if missing:
-            raise ValueError(
-                f"slowfast checkpoint is missing parameters: {sorted(missing)}")
-    return out
+    return _import_by_paths(state_dict, template, _slowfast_path, _tr,
+                            ("head_",), "slowfast", strict)
 
 
 def export_slowfast_state_dict(params: dict) -> dict:
