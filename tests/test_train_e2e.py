@@ -245,3 +245,28 @@ def test_clip_grad_bounds_update():
     nupd, _ = ref.update(grads, ref.init(params), params)
     np.testing.assert_allclose(np.asarray(lupd["w"]), np.asarray(nupd["w"]),
                                rtol=1e-6)
+
+
+def test_max_steps_counts_optimizer_steps_under_fusion(tmp_path):
+    """max_steps_per_epoch is an OPTIMIZER-step budget: with --fused-steps k
+    each loop iteration runs a k-step window, and the cap must not multiply
+    by k (regression: the break compared the window index, allowing k x the
+    requested steps)."""
+    os.environ["PATHTRACKER_DATA_ROOT"] = str(tmp_path / "data")
+    os.environ["PATHTRACKER_SYNTH_TRAIN"] = "24"
+    os.environ["PATHTRACKER_SYNTH_TEST"] = "24"
+
+    from pathtracker_tpu.train.loop import main
+    from pathtracker_tpu.utils.opts import build_parser
+
+    args = build_parser().parse_args([
+        "--model", "InT", "--name", "cap", "--length", "8", "--speed", "1",
+        "--dist", "1", "-b", "4", "--lr", "3e-4", "--epochs", "1",
+        "--print-freq", "100", "-d", "8", "-k", "3",
+        "--device-data", "--fused-steps", "2",
+        "--results-dir", str(tmp_path / "results"),
+    ])
+    result = main(args, max_steps_per_epoch=2)
+    train = np.load(os.path.join(result["results_folder"], "train.npz"))
+    # one fused window of 2 steps, then the budget is exhausted
+    assert len(train["loss"]) == 2, len(train["loss"])
