@@ -292,6 +292,28 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     vopt = opt_state
     stop = False
     trace_active = False
+
+    # Graceful shutdown: runs here are routinely bounded by `timeout`
+    # (SIGTERM), and the reference's only recovery is --ckpt/--start-epoch
+    # resume — dying mid-epoch loses everything since the last val
+    # improvement. Catch the first SIGTERM, finish the current step, save
+    # the rolling last-epoch checkpoint + npz logs, and return cleanly; a
+    # second SIGTERM falls through to the default kill.
+    import signal
+
+    terminated = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        terminated["flag"] = True
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        print("SIGTERM: finishing step, checkpointing, exiting cleanly "
+              "(send again to kill)", flush=True)
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (e.g. driven from a test runner)
+        prev_sigterm = None
+
     for epoch in range(args.start_epoch, args.epochs):
         meters = {k: AverageMeter() for k in
                   ("batch_time", "data_time", "loss", "balacc", "precision",
@@ -365,6 +387,8 @@ def main(args=None, max_steps_per_epoch: int | None = None):
             steps_done += n_sub
             if max_steps_per_epoch is not None and steps_done >= max_steps_per_epoch:
                 break
+            if terminated["flag"]:
+                break
 
         if trace_active:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
@@ -378,6 +402,18 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         train_log_dict["f1score"].extend(meters["f1score"].history)
         save_npz(train_log_dict, results_folder, "train")
         save_npz(val_log_dict, results_folder, "val")
+
+        if terminated["flag"]:
+            os.makedirs(os.path.join(results_folder, "saved_models"),
+                        exist_ok=True)
+            last = os.path.join(results_folder, "saved_models",
+                                "model_last_epoch_checkpoint.pth.tar")
+            ckpt_lib.save_checkpoint(last, params, epoch=epoch)
+            print(f"terminated: logs + rolling checkpoint saved mid-epoch "
+                  f"{epoch}; resume with --ckpt {last} --start-epoch {epoch}",
+                  flush=True)
+            stop = True
+            break
 
         accv, precv, recv, f1sv, losv = validate(
             val_loader, eval_step, params, args, results_folder,
@@ -411,6 +447,11 @@ def main(args=None, max_steps_per_epoch: int | None = None):
             print("Early stopping triggered. Quitting.")
             stop = True
             break
+    if prev_sigterm is not None:
+        try:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+        except (ValueError, TypeError):
+            pass
     return {"params": params, "results_folder": results_folder,
             "val_log": val_log_dict, "train_log": train_log_dict,
             "early_stopped": stop}

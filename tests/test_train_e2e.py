@@ -270,3 +270,46 @@ def test_max_steps_counts_optimizer_steps_under_fusion(tmp_path):
     train = np.load(os.path.join(result["results_folder"], "train.npz"))
     # one fused window of 2 steps, then the budget is exhausted
     assert len(train["loss"]) == 2, len(train["loss"])
+
+
+def test_sigterm_saves_rolling_checkpoint(tmp_path):
+    """Bounded runs die by SIGTERM (`timeout N python mainclean.py ...`);
+    the loop must catch the first one, save the rolling last-epoch
+    checkpoint + npz logs, and exit cleanly (rc=0) so nothing since the
+    last val improvement is lost."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ)
+    env["PATHTRACKER_DATA_ROOT"] = str(tmp_path / "data")
+    env["PATHTRACKER_SYNTH_TRAIN"] = "24"
+    env["PATHTRACKER_SYNTH_TEST"] = "24"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.join(repo, "mainclean.py"),
+         "--model", "InT", "--name", "sig", "--length", "8", "--speed", "1",
+         "--dist", "1", "-b", "4", "--lr", "3e-4", "--epochs", "500",
+         "--print-freq", "1", "-d", "8", "-k", "3",
+         "--results-dir", str(tmp_path / "results")],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    # Wait for the first logged step (compile done, training under way).
+    deadline = time.time() + 300
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if line.startswith("Epoch: [0]"):
+            break
+        assert time.time() < deadline, "".join(lines)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    lines.append(out)
+    text = "".join(lines)
+    assert proc.returncode == 0, text
+    assert "terminated: logs + rolling checkpoint saved" in text, text
+    folder = os.path.join(str(tmp_path / "results"), "8_1_1", "sig")
+    assert os.path.exists(os.path.join(
+        folder, "saved_models", "model_last_epoch_checkpoint.pth.tar"))
+    assert os.path.exists(os.path.join(folder, "train.npz"))
