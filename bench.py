@@ -141,6 +141,66 @@ def measure(batch: int = 128, timesteps: int = 64, iters: int = 20,
     }
 
 
+def measure_fused(batch: int = 128, timesteps: int = 64, iters: int = 10,
+                  warmup: int = 2, bf16: bool = True, fused_steps: int = 12,
+                  remat_policy: str = "conv") -> dict:
+    """Sustained training throughput through the PRODUCTION path: a
+    device-resident dataset (data/resident.py) with `fused_steps` optimizer
+    steps chained inside one compiled program — exactly what
+    `mainclean.py --device-data --fused-steps K` runs. Each timed window is
+    one dispatch + one packed-stats fetch amortized over K steps, so this
+    includes everything a real training step pays (device-side batch
+    gather, per-window host fetch) and nothing it doesn't (no per-step
+    dispatch gap)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracker_tpu.data.resident import make_resident_train_step
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer
+
+    model = InT(dimensions=32, timesteps=timesteps, kernel_size=7,
+                dtype="bfloat16" if bf16 else "float32",
+                remat_policy=remat_policy)
+    sample = jnp.zeros((batch, 3, timesteps, 32, 32), jnp.float32)
+    params = model.init(jax.random.key(0), sample)["params"]
+    optimizer = make_optimizer(3e-4)
+    opt_state = optimizer.init(params)
+
+    # Resident set sized to an exact number of windows per epoch so every
+    # timed window is the full K steps (epoch-tail windows would otherwise
+    # mix shorter compiles into the timing).
+    n_clips = batch * fused_steps
+    rng = np.random.default_rng(0)
+    clips = rng.integers(0, 255, size=(n_clips, timesteps, 32, 32, 3),
+                         dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(n_clips,), dtype=np.uint8)
+    data = jax.device_put(clips)
+    lbl = jax.device_put(labels)
+
+    train_step = make_resident_train_step(
+        model, "InT", optimizer, n_clips=n_clips, batch_size=batch,
+        fused_steps=fused_steps)
+
+    for _ in range(max(warmup, 1)):  # compile + steady-state warmup
+        params, opt_state, stats = train_step(params, opt_state, data, lbl)
+
+    t0 = time.perf_counter()
+    steps = 0
+    for _ in range(iters):
+        params, opt_state, stats = train_step(params, opt_state, data, lbl)
+        steps += len(np.atleast_1d(stats["loss"]))
+    dt = time.perf_counter() - t0
+    return {
+        "clips_per_sec": batch * steps / dt,
+        "p50_batch_latency_s": dt / steps,  # amortized per-step wall time
+        "fused_steps": fused_steps,
+        "batch": batch,
+        "timesteps": timesteps,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def measure_model(model_name: str, batch: int, timesteps: int = 64,
                   iters: int = 10, warmup: int = 3, bf16: bool = True) -> dict:
     """Full jitted train step (uint8 in, prep + forward + BCE + backward +
@@ -212,6 +272,30 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", 128))
     iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    # BENCH_FUSED=K measures the production resident fused-window path
+    # (mainclean.py --device-data --fused-steps K) instead of the
+    # single-step streamed path. Distinct protocol, labeled as such.
+    fused = int(os.environ.get("BENCH_FUSED", 0))
+    if fused > 1:
+        t = int(os.environ.get("BENCH_T", 64))
+        res = measure_fused(batch=batch, timesteps=t, iters=iters,
+                            fused_steps=fused,
+                            bf16=not int(os.environ.get("BENCH_F32", 0)),
+                            remat_policy=os.environ.get("BENCH_REMAT", "conv"))
+        print(json.dumps({
+            "metric": "InT training clips/sec/chip (resident fused windows), "
+                      f"{t}-frame PathTracker",
+            "value": round(res["clips_per_sec"], 2),
+            "unit": "clips/sec/chip",
+            "vs_baseline": 1.0,
+            "protocol": "fused_window_resident",
+            **{k: res[k] for k in ("fused_steps", "batch", "timesteps",
+                                   "device")},
+            "p50_batch_latency_s": round(res["p50_batch_latency_s"], 4),
+        }))
+        return
+
     res = measure(batch=batch, iters=iters,
                   bf16=not int(os.environ.get("BENCH_F32", 0)),
                   remat_policy=os.environ.get("BENCH_REMAT", "conv"))
