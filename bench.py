@@ -201,6 +201,54 @@ def measure_fused(batch: int = 128, timesteps: int = 64, iters: int = 10,
     }
 
 
+def measure_infer(batch: int = 128, timesteps: int = 64, iters: int = 20,
+                  warmup: int = 3, bf16: bool = True) -> dict:
+    """Serving throughput: the jitted inference program from
+    pathtracker_tpu/eval/serve.py (wire-format uint8 frames in, prep +
+    forward + sigmoid fused; no grads, no optimizer). Same pipelined-window
+    protocol as measure(): N chained calls, one sync."""
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracker_tpu.eval.serve import make_inference_fn
+    from pathtracker_tpu.models.int_circuit import InT
+
+    model = InT(dimensions=32, timesteps=timesteps, kernel_size=7,
+                dtype="bfloat16" if bf16 else "float32")
+    sample = jnp.zeros((batch, 3, timesteps, 32, 32), jnp.float32)
+    params = model.init(jax.random.key(0), sample)["params"]
+    infer = make_inference_fn(model, "InT", params)
+
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(rng.integers(
+        0, 255, size=(batch, timesteps, 32, 32, 3), dtype=np.uint8))
+
+    for _ in range(max(warmup, 1)):
+        out = infer(imgs)
+    float(out[0])
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = infer(imgs)
+        float(out[0])
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(np.asarray(lat), 50))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(imgs)
+    float(out[0])
+    pipelined = batch * iters / (time.perf_counter() - t0)
+    return {
+        "clips_per_sec": pipelined,
+        "p50_batch_latency_s": p50,
+        "batch": batch,
+        "timesteps": timesteps,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def measure_model(model_name: str, batch: int, timesteps: int = 64,
                   iters: int = 10, warmup: int = 3, bf16: bool = True) -> dict:
     """Full jitted train step (uint8 in, prep + forward + BCE + backward +
@@ -272,6 +320,23 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", 128))
     iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    # BENCH_INFER=1 measures the serving path (jitted inference program,
+    # eval/serve.py) instead of the train step.
+    if int(os.environ.get("BENCH_INFER", 0)):
+        t = int(os.environ.get("BENCH_T", 64))
+        res = measure_infer(batch=batch, timesteps=t, iters=iters,
+                            bf16=not int(os.environ.get("BENCH_F32", 0)))
+        print(json.dumps({
+            "metric": f"InT inference clips/sec/chip, {t}-frame PathTracker",
+            "value": round(res["clips_per_sec"], 2),
+            "unit": "clips/sec/chip",
+            "vs_baseline": 1.0,
+            "protocol": "pipelined_window_inference",
+            "p50_batch_latency_s": round(res["p50_batch_latency_s"], 4),
+            "batch": res["batch"], "device": res["device"],
+        }))
+        return
 
     # BENCH_FUSED=K measures the production resident fused-window path
     # (mainclean.py --device-data --fused-steps K) instead of the
