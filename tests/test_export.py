@@ -61,6 +61,28 @@ def test_export_static_batch_pins_shape(tiny_int):
         served(_frames(3))  # wrong batch must be rejected, not miscomputed
 
 
+def test_export_second_family_gru():
+    """The export path is family-generic: `gru` exercises the registry's
+    width-doubling + the ConvGRU scan. (The torchvision/coord-channel and
+    slowfast families export identically — verified out-of-suite; their
+    CPU compiles are too slow for CI.)"""
+    from types import SimpleNamespace
+
+    from pathtracker_tpu.train.loop import init_model
+
+    args = SimpleNamespace(model="gru", seed=0, dimensions=8,
+                           fb_kernel_size=3, pretrained=False, algo="bptt",
+                           penalty=False, optical_flow=False,
+                           slowfast_cfg=None, bf16=False)
+    model, variables = init_model(args, T)
+    params = variables["params"]
+    served = load_exported(export_stablehlo(model, "gru", params, T))
+    x = _frames(3, seed=3)
+    np.testing.assert_array_equal(
+        np.asarray(served(x)),
+        np.asarray(make_inference_fn(model, "gru", params)(x)))
+
+
 def test_export_cli_from_checkpoint(tmp_path):
     from pathtracker_tpu.eval import serve as serve_cli
     from pathtracker_tpu.train.checkpoint import save_checkpoint
