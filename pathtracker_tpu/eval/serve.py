@@ -102,7 +102,7 @@ def _build(args):
         model=args.model, seed=0, dimensions=args.dimensions,
         fb_kernel_size=args.fb_kernel_size, pretrained=False,
         algo="bptt", penalty=False, optical_flow=False,
-        slowfast_cfg=args.slowfast_cfg, bf16=False)
+        slowfast_cfg=args.slowfast_cfg, bf16=getattr(args, "bf16", False))
     model, variables = init_model(margs, args.length)
     params = variables["params"]
     if args.ckpt:
@@ -120,6 +120,9 @@ def main(argv=None):
     p.add_argument("-d", "--dimensions", type=int, default=32)
     p.add_argument("-k", "--fb_kernel_size", type=int, default=7)
     p.add_argument("--slowfast_cfg", default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="export the mixed-precision fast path (bf16 MXU "
+                        "inputs, f32 state — same policy as training)")
     p.add_argument("--batch", type=int, default=None,
                    help="static batch size (default: symbolic 'b')")
     p.add_argument("--logits", action="store_true",
