@@ -69,38 +69,51 @@ def _require_backend(timeout_s: float) -> None:
         raise RuntimeError(f"bench: no usable backend: {out['error']}")
 
 
-def _time_train_step(train_step, params, opt_state, imgs, labels,
-                     iters: int, warmup: int) -> dict:
+def _timed_protocol(step, sync, batch: int, iters: int, warmup: int) -> dict:
     """One timing protocol for every benchmark: warmup + one true sync
     (a host fetch — block_until_ready returns early on the axon backend),
-    a per-step-fetch p50 loop, then the pipelined window (N chained steps
-    consuming donated buffers, one sync) that a training loop actually
-    sustains — the per-step loop charges the ~27 ms tunnel round trip of
-    its stats fetch to every step, a tunnel artifact, not a framework
-    cost."""
-    batch = imgs.shape[0]
+    a per-call-fetch p50 loop, then the pipelined window (N chained calls,
+    one sync) that a real loop actually sustains — the per-call loop
+    charges the ~27 ms tunnel round trip of its fetch to every call, a
+    tunnel artifact, not a framework cost.
+
+    step() advances one iteration and returns a sync token; sync(token)
+    forces completion (a scalar host fetch)."""
     for _ in range(max(warmup, 1)):  # >=1: compile must not land in the timed loop
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-    float(stats["loss"])
+        tok = step()
+    sync(tok)
 
     lat = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-        float(stats["loss"])
+        tok = step()
+        sync(tok)
         lat.append(time.perf_counter() - t0)
     p50 = float(np.percentile(np.asarray(lat), 50))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        params, opt_state, stats = train_step(params, opt_state, imgs, labels)
-    float(stats["loss"])
+        tok = step()
+    sync(tok)
     pipelined = batch * iters / (time.perf_counter() - t0)
     return {
         "clips_per_sec": pipelined,
         "p50_batch_latency_s": p50,
         "per_step_fetch_clips_per_sec": batch / p50,
     }
+
+
+def _time_train_step(train_step, params, opt_state, imgs, labels,
+                     iters: int, warmup: int) -> dict:
+    state = [params, opt_state]
+
+    def step():
+        p, o, stats = train_step(state[0], state[1], imgs, labels)
+        state[0], state[1] = p, o
+        return stats
+
+    return _timed_protocol(step, lambda s: float(s["loss"]),
+                           imgs.shape[0], iters, warmup)
 
 
 def measure(batch: int = 128, timesteps: int = 64, iters: int = 20,
@@ -193,7 +206,11 @@ def measure_fused(batch: int = 128, timesteps: int = 64, iters: int = 10,
     dt = time.perf_counter() - t0
     return {
         "clips_per_sec": batch * steps / dt,
-        "p50_batch_latency_s": dt / steps,  # amortized per-step wall time
+        # MEAN per-step wall time over the whole run (not a p50: the unit
+        # of dispatch is the K-step window, so per-step percentiles don't
+        # exist in this protocol) — keyed distinctly so it is never
+        # compared against the streamed protocols' p50.
+        "amortized_step_latency_s": dt / steps,
         "fused_steps": fused_steps,
         "batch": batch,
         "timesteps": timesteps,
@@ -223,26 +240,11 @@ def measure_infer(batch: int = 128, timesteps: int = 64, iters: int = 20,
     imgs = jax.device_put(rng.integers(
         0, 255, size=(batch, timesteps, 32, 32, 3), dtype=np.uint8))
 
-    for _ in range(max(warmup, 1)):
-        out = infer(imgs)
-    float(out[0])
-
-    lat = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = infer(imgs)
-        float(out[0])
-        lat.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(np.asarray(lat), 50))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(imgs)
-    float(out[0])
-    pipelined = batch * iters / (time.perf_counter() - t0)
+    res = _timed_protocol(lambda: infer(imgs), lambda out: float(out[0]),
+                          batch, iters, warmup)
     return {
-        "clips_per_sec": pipelined,
-        "p50_batch_latency_s": p50,
+        "clips_per_sec": res["clips_per_sec"],
+        "p50_batch_latency_s": res["p50_batch_latency_s"],
         "batch": batch,
         "timesteps": timesteps,
         "device": str(jax.devices()[0]),
@@ -342,7 +344,7 @@ def main():
     # (mainclean.py --device-data --fused-steps K) instead of the
     # single-step streamed path. Distinct protocol, labeled as such.
     fused = int(os.environ.get("BENCH_FUSED", 0))
-    if fused > 1:
+    if fused >= 1:  # =1 is the resident path with unfused windows
         t = int(os.environ.get("BENCH_T", 64))
         res = measure_fused(batch=batch, timesteps=t, iters=iters,
                             fused_steps=fused,
@@ -357,7 +359,8 @@ def main():
             "protocol": "fused_window_resident",
             **{k: res[k] for k in ("fused_steps", "batch", "timesteps",
                                    "device")},
-            "p50_batch_latency_s": round(res["p50_batch_latency_s"], 4),
+            "amortized_step_latency_s": round(
+                res["amortized_step_latency_s"], 4),
         }))
         return
 

@@ -27,7 +27,6 @@ deserialized outputs against the live model to zero ULP.
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 
@@ -61,13 +60,24 @@ def make_inference_fn(model, model_name: str, params, probs: bool = True,
 
 def export_stablehlo(model, model_name: str, params, timesteps: int,
                      height: int = 32, width: int = 32, batch=None,
-                     probs: bool = True,
-                     pretrained_norm: bool = False) -> bytes:
+                     probs: bool = True, pretrained_norm: bool = False,
+                     platforms=("cpu", "tpu")) -> bytes:
     """Serialize the inference program to a portable StableHLO artifact.
 
     batch=None exports a symbolic batch dimension ("b"): the single
     artifact runs at any batch size. Pass an int to pin a static batch
-    (e.g. for compilers/runtimes that reject dynamic dims)."""
+    (e.g. for compilers/runtimes that reject dynamic dims).
+
+    platforms pins which backends the artifact may execute on; the default
+    multi-platform export runs on both CPU and TPU serving hosts
+    regardless of which backend performed the export. (Without it,
+    jax.export lowers for the exporting process's default backend only.)
+
+    Caveat inherited from the model class (document to integrators): the
+    reference's `track_running_stats=False` BatchNorm means normalization
+    uses CURRENT-BATCH statistics, so a clip's score depends on its
+    co-batched clips. Serve with a fixed batching policy when bitwise
+    reproducibility per clip matters."""
     import jax
     from jax import export as jexport
     import jax.numpy as jnp
@@ -79,7 +89,8 @@ def export_stablehlo(model, model_name: str, params, timesteps: int,
     else:
         b = int(batch)
     spec = jax.ShapeDtypeStruct((b, timesteps, height, width, 3), jnp.uint8)
-    return bytes(jexport.export(infer)(spec).serialize())
+    return bytes(jexport.export(
+        infer, platforms=list(platforms))(spec).serialize())
 
 
 def load_exported(payload: bytes):
@@ -100,8 +111,9 @@ def _build(args):
 
     margs = SimpleNamespace(
         model=args.model, seed=0, dimensions=args.dimensions,
-        fb_kernel_size=args.fb_kernel_size, pretrained=False,
+        fb_kernel_size=args.fb_kernel_size,
         algo="bptt", penalty=False, optical_flow=False,
+        pretrained=getattr(args, "pretrained", False),
         slowfast_cfg=args.slowfast_cfg, bf16=getattr(args, "bf16", False))
     model, variables = init_model(margs, args.length)
     params = variables["params"]
@@ -123,6 +135,14 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="export the mixed-precision fast path (bf16 MXU "
                         "inputs, f32 state — same policy as training)")
+    p.add_argument("--pretrained", action="store_true",
+                   help="checkpoint was trained with --pretrained: bake the "
+                        "Kinetics mean/std input normalization into the "
+                        "artifact (and load local pretrained weights when "
+                        "no --ckpt is given)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated execution platforms baked into the "
+                        "artifact (default: cpu,tpu — runs on either)")
     p.add_argument("--batch", type=int, default=None,
                    help="static batch size (default: symbolic 'b')")
     p.add_argument("--logits", action="store_true",
@@ -135,8 +155,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     model, params = _build(args)
-    payload = export_stablehlo(model, args.model, params, args.length,
-                               batch=args.batch, probs=not args.logits)
+    payload = export_stablehlo(
+        model, args.model, params, args.length, batch=args.batch,
+        probs=not args.logits, pretrained_norm=args.pretrained,
+        platforms=tuple(s for s in args.platforms.split(",") if s))
     with open(args.out, "wb") as f:
         f.write(payload)
     print(f"exported {args.model} T={args.length} -> {args.out} "
@@ -151,7 +173,8 @@ def main(argv=None):
             served = load_exported(f.read())
         got = np.asarray(served(x))
         want = np.asarray(make_inference_fn(
-            model, args.model, params, probs=not args.logits)(x))
+            model, args.model, params, probs=not args.logits,
+            pretrained_norm=args.pretrained)(x))
         np.testing.assert_allclose(got, want, rtol=0, atol=0)
         print(f"selftest ok: artifact == live model at batch {b} "
               f"(scores {np.round(got[:4], 4)})")
