@@ -40,10 +40,27 @@ class ClipDataset:
         shuffle_buffer: int = 1000,
         seed: int | None = None,
         prefetch: int = 4,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         if not files:
             raise ValueError("no input files")
+        if not (0 <= shard_index < shard_count):
+            raise ValueError(f"shard_index {shard_index} not in "
+                             f"[0, {shard_count})")
         self.files = list(files)
+        # Multi-host sharding: each process reads a disjoint slice of the
+        # dataset (the reference is single-host; under jax.distributed every
+        # process would otherwise read EVERYTHING). File-level round-robin
+        # when there are enough shard files, else record-level striding
+        # inside every file — either way the union over processes is the
+        # full dataset and the slices are disjoint.
+        self._record_stride = None
+        if shard_count > 1:
+            if len(self.files) >= shard_count:
+                self.files = self.files[shard_index::shard_count]
+            else:
+                self._record_stride = (shard_index, shard_count)
         self.batch_size = batch_size
         self.timesteps = timesteps
         self.height = height
@@ -62,11 +79,18 @@ class ClipDataset:
             self._rng.shuffle(files)
         for path in files:
             if _native.available():
-                yield from _native.read_clip_records(
+                records = _native.read_clip_records(
                     path, self.timesteps, self.height, self.width)
             else:
-                yield from read_clip_records(
+                records = read_clip_records(
                     path, self.timesteps, self.height, self.width)
+            if self._record_stride is None:
+                yield from records
+            else:
+                lo, n = self._record_stride
+                for i, item in enumerate(records):
+                    if i % n == lo:
+                        yield item
 
     def _iter_shuffled(self):
         if self.shuffle_buffer <= 0:
@@ -118,6 +142,10 @@ class ClipDataset:
                     n = len(shard)
                     order = (self._rng.permutation(n) if self.shuffle_buffer > 0
                              else np.arange(n))
+                    if self._record_stride is not None:
+                        lo, cnt = self._record_stride
+                        order = order[order % cnt == lo]
+                        n = len(order)
                     start = 0
                     if rem_clips:
                         have = sum(c.shape[0] for c in rem_clips)
@@ -205,12 +233,16 @@ def tfr_data_loader(
     height: int = 32,
     width: int = 32,
     seed: int | None = None,
+    shard_index: int = 0,
+    shard_count: int = 1,
 ) -> ClipDataset:
     """Build a clip loader from a glob pattern (e.g. root + 'train-*').
 
     Signature-compatible with the reference's tfr_data_loader (reference
     utils/TFRDataset.py:31), including the height/width/shuffle_buffer
     keywords its viz script expected (reference viz_model_att.py:156).
+    shard_index/shard_count give each multi-host process a disjoint slice
+    (pass jax.process_index()/jax.process_count()).
     """
     files = sorted(_glob.glob(data_dir))
     return ClipDataset(
@@ -222,4 +254,6 @@ def tfr_data_loader(
         drop_remainder=drop_remainder,
         shuffle_buffer=shuffle_buffer,
         seed=seed,
+        shard_index=shard_index,
+        shard_count=shard_count,
     )

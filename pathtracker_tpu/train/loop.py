@@ -202,16 +202,32 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         len_train_loader = int(train_labels.shape[0])
         len_val_loader = int(val_labels.shape[0])
     else:
+        # Multi-host: each process loads a disjoint slice and its
+        # per-process batch is the global batch / process_count (standard
+        # SPMD input feeding; single-host this is a no-op).
+        nproc, pidx = jax.process_count(), jax.process_index()
+        per_proc_batch = args.batch_size // nproc if nproc > 1 else args.batch_size
         print("Loading training dataset")
         train_loader = tfr_data_loader(
-            data_dir=pf_root + "train-*", batch_size=args.batch_size,
-            drop_remainder=True, timesteps=args.length, seed=args.seed)
+            data_dir=pf_root + "train-*", batch_size=per_proc_batch,
+            drop_remainder=True, timesteps=args.length, seed=args.seed,
+            shard_index=pidx, shard_count=nproc)
         print("Loading validation dataset")
         val_loader = tfr_data_loader(
-            data_dir=pf_root + "test-*", batch_size=args.batch_size,
-            drop_remainder=True, timesteps=args.length, seed=args.seed)
+            data_dir=pf_root + "test-*", batch_size=per_proc_batch,
+            drop_remainder=True, timesteps=args.length, seed=args.seed,
+            shard_index=pidx, shard_count=nproc)
 
     results_folder = results_folder_for(args)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # Multi-host: only the coordinator writes real artifacts (all
+        # processes compute identical global metrics, so concurrent writes
+        # to a shared results FS would race for no information). The flow
+        # is unchanged — non-coordinators divert into a throwaway dir.
+        import tempfile
+
+        results_folder = os.path.join(
+            tempfile.mkdtemp(prefix="pt_noncoord_"), "results")
     os.makedirs(results_folder, exist_ok=True)
     ES = EarlyStopping(patience=200, results_folder=results_folder)
 
@@ -248,6 +264,8 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         "epochs": args.epochs,
         "lr": args.lr,
         "clip_grad": str(getattr(args, "clip_grad", None)),
+        "accum_steps": getattr(args, "accum_steps", 1),
+        "ema": str(getattr(args, "ema", None)),
         "loaded_ckpt": str(args.ckpt),
         "results_dir": results_folder,
         "exp_name": args.name,
@@ -261,8 +279,11 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     }
     np.savez(os.path.join(results_folder, "hp_dict"), **hp_dict)
 
+    ema_decay = getattr(args, "ema", None)
     optimizer = make_optimizer(args.lr,
-                               clip_grad=getattr(args, "clip_grad", None))
+                               clip_grad=getattr(args, "clip_grad", None),
+                               accum_steps=getattr(args, "accum_steps", 1),
+                               ema=ema_decay)
     if args.ckpt is not None:
         params = engine.load_ckpt(params, args.ckpt)
     opt_state = optimizer.init(params)
@@ -415,8 +436,14 @@ def main(args=None, max_steps_per_epoch: int | None = None):
             stop = True
             break
 
+        # With --ema, validation and best-val checkpoints use the averaged
+        # weights (what you would deploy); the rolling checkpoint below
+        # keeps the raw weights so resume continues the exact trajectory.
+        from pathtracker_tpu.train.steps import ema_params as _ema_params
+
+        eval_params = _ema_params(vopt) if ema_decay is not None else params
         accv, precv, recv, f1sv, losv = validate(
-            val_loader, eval_step, params, args, results_folder,
+            val_loader, eval_step, eval_params, args, results_folder,
             len_val_loader, logiters=3,
             disentangle_channels=disentangle_channels)
         line = f"val f {f1sv} val loss {losv}"
@@ -442,7 +469,7 @@ def main(args=None, max_steps_per_epoch: int | None = None):
             os.path.join(results_folder, "saved_models",
                          "model_last_epoch_checkpoint.pth.tar"),
             params, epoch=epoch)
-        ES(accv, params, epoch)
+        ES(accv, eval_params, epoch)
         if ES.early_stop:
             print("Early stopping triggered. Quitting.")
             stop = True

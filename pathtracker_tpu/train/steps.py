@@ -24,7 +24,9 @@ from pathtracker_tpu.utils.metrics import acc_scores, bce_with_logits, eval_accu
 
 
 def make_optimizer(lr: float, lr_steps=None, gamma: float = 0.1,
-                   clip_grad: float | None = None
+                   clip_grad: float | None = None,
+                   accum_steps: int = 1,
+                   ema: float | None = None
                    ) -> optax.GradientTransformation:
     """Adam with torch defaults (reference mainclean.py:157).
 
@@ -43,9 +45,53 @@ def make_optimizer(lr: float, lr_steps=None, gamma: float = 0.1,
         schedule = optax.piecewise_constant_schedule(
             lr, {int(s): gamma for s in lr_steps})
         adam = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    tx = adam
     if clip_grad is not None:
-        return optax.chain(optax.clip_by_global_norm(clip_grad), adam)
-    return adam
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad), adam)
+    if accum_steps > 1:
+        # Gradient accumulation (no reference counterpart): average grads
+        # over K micro-batches, apply Adam once per window — K x the
+        # effective batch beyond the single-chip memory cliff. Pure optax
+        # state, so it composes with the fused-window scan unchanged.
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    if ema is not None:
+        tx = with_ema(tx, ema)  # outermost: averages the applied params
+    return tx
+
+
+def with_ema(tx: optax.GradientTransformation,
+             decay: float) -> optax.GradientTransformation:
+    """Wrap an optimizer so its state carries an exponential moving average
+    of the PARAMETERS (Polyak averaging): ema <- decay*ema + (1-decay)*p
+    after every update. No reference counterpart; motivated by the measured
+    long-horizon fine-tune instability (BASELINE.md lr-stability study —
+    val accuracy wobbles epoch-to-epoch at T=64): evaluating/checkpointing
+    the EMA weights smooths over the oscillation without touching the
+    training trajectory. Lives in optimizer state, so it rides the fused
+    lax.scan windows and checkpointing unchanged; read it back with
+    `ema_params(opt_state)`."""
+
+    def init(params):
+        # Real copies, not jnp.asarray: asarray is a no-op on jax Arrays and
+        # the ema tree would ALIAS the param buffers — the train step donates
+        # params and opt_state separately, and aliased buffers make XLA
+        # reject the execute with "donate the same buffer twice".
+        return (tx.init(params), jax.tree.map(jnp.copy, params))
+
+    def update(grads, state, params=None):
+        inner, ema = state
+        updates, inner = tx.update(grads, inner, params)
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                           ema, new_params)
+        return updates, (inner, ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(opt_state):
+    """Extract the EMA parameter tree from a with_ema optimizer state."""
+    return opt_state[1]
 
 
 def make_train_step(model, model_name: str, optimizer, penalty: bool = False,

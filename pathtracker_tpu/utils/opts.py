@@ -79,6 +79,19 @@ def build_parser() -> argparse.ArgumentParser:
                         help="with --device-data: chain K optimizer steps "
                              "inside one compiled program (lax.scan), one "
                              "dispatch + one stats fetch per window")
+    parser.add_argument("--accum-steps", type=int, default=1, metavar="K",
+                        dest="accum_steps",
+                        help="accumulate gradients over K micro-batches "
+                             "before each Adam update (optax.MultiSteps) — "
+                             "K x the effective batch without the memory; "
+                             "epoch step budgets count micro-batches")
+    parser.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                        help="maintain an EMA of the weights (e.g. 0.999); "
+                             "validation + best-val checkpoints use the EMA "
+                             "weights (smooths the measured long-horizon "
+                             "fine-tune oscillation, BASELINE.md); the "
+                             "rolling last-epoch checkpoint keeps the raw "
+                             "weights for exact resume")
     parser.add_argument("--clip-grad", type=float, default=None, metavar="NORM",
                         dest="clip_grad",
                         help="global-norm gradient clip before Adam (the "

@@ -102,6 +102,73 @@ def test_2d_mesh_tensor_parallel_matches_single_device(mesh8):
                                    err_msg=jax.tree_util.keystr(ka))
 
 
+def test_fsdp_sharded_step_matches_single_device(mesh8):
+    """FSDP / ZeRO-3: params + Adam state sharded over 'data' (each device
+    holds 1/8th), batch sharded too. GSPMD inserts the param all-gathers and
+    the grad reduce-scatter; one train step must match single-device
+    numerics, and the updated params must STAY fsdp-sharded (the update
+    ran sharded, no gather-back to replicas)."""
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
+
+    model = InT(dimensions=8, timesteps=4, kernel_size=3)
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, size=(16, 4, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(16,), dtype=np.uint8)
+    sample = jnp.zeros((16, 3, 4, 16, 16), jnp.float32)
+    params0 = jax.device_get(model.init(jax.random.key(0), sample)["params"])
+    optimizer = make_optimizer(1e-3)
+
+    step = make_train_step(model, "InT", optimizer)
+    p_single, _, s_single = step(params0, optimizer.init(params0),
+                                 imgs, labels)
+
+    pf = mesh_lib.fsdp_shard_params(mesh8, params0)
+    specs = jax.tree.leaves(jax.tree.map(lambda v: v.sharding.spec, pf))
+    assert any("data" in str(s) for s in specs), "nothing got fsdp-sharded"
+    # ZeRO: the Adam moments (param-shaped) get the same shape-based rule.
+    optf = mesh_lib.fsdp_shard_params(mesh8, optimizer.init(params0))
+    mu_specs = jax.tree.leaves(jax.tree.map(
+        lambda v: str(getattr(v.sharding, "spec", "")), optf[0].mu))
+    assert any("data" in s for s in mu_specs)
+    imf = jax.device_put(imgs, mesh_lib.batch_sharding(mesh8))
+    lbf = jax.device_put(labels, mesh_lib.batch_sharding(mesh8))
+    stepf = make_train_step(model, "InT", optimizer)
+    p_fsdp, opt_fsdp, s_fsdp = stepf(pf, optf, imf, lbf)
+
+    np.testing.assert_allclose(float(s_single["loss"]),
+                               float(s_fsdp["loss"]), rtol=1e-5)
+    out_specs = jax.tree.leaves(jax.tree.map(
+        lambda v: str(v.sharding.spec), p_fsdp))
+    assert any("data" in s for s in out_specs), (
+        "updated params lost their fsdp sharding (update gathered to replicas)")
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p_single)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p_fsdp))):
+        np.testing.assert_allclose(va, vb, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
+def test_fsdp_sharding_rule():
+    """fsdp_shardings shards the largest divisible dim and replicates tiny
+    leaves (per-channel scalars)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.make_mesh(8)
+    params = {
+        "conv": np.zeros((3, 3, 8, 32), np.float32),   # 32 % 8 == 0 -> last
+        "vec": np.zeros((8,), np.float32),             # divisible, size 8
+        "scalar": np.zeros((1,), np.float32),          # tiny -> replicated
+        "odd": np.zeros((5, 7), np.float32),           # nothing divides -> rep
+    }
+    specs = mesh_lib.fsdp_shardings(mesh, params)
+    assert str(specs["conv"].spec) == str(
+        jax.sharding.PartitionSpec(None, None, None, "data"))
+    assert str(specs["vec"].spec) == str(jax.sharding.PartitionSpec("data"))
+    assert specs["scalar"].spec == jax.sharding.PartitionSpec()
+    assert specs["odd"].spec == jax.sharding.PartitionSpec()
+
+
 def test_2d_mesh_spatial_parallel_matches_single_device(mesh8):
     """dp x sp: the image H axis sharded over the second mesh axis — GSPMD
     inserts the conv halo exchanges; numerics must match single-device."""

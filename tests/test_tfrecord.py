@@ -125,6 +125,49 @@ def test_synthetic_dataset_and_loader(tmp_path):
     assert len(list(loader)) == 2
 
 
+def test_multihost_sharding_disjoint_union(tmp_path):
+    """shard_index/shard_count (multi-host data sharding): processes see
+    DISJOINT slices whose union is the full dataset — both the file-level
+    path (files >= shards) and the record-striding path (files < shards)."""
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, n_train=16, n_test=4, timesteps=4, shards=4)
+    pattern = os.path.join(root, "train-*")
+
+    def clip_keys(loader):
+        keys = []
+        for imgs, labels in loader:
+            for i in range(imgs.shape[0]):
+                keys.append(imgs[i].tobytes())
+        return keys
+
+    full = set(clip_keys(tfr_data_loader(pattern, batch_size=1, timesteps=4,
+                                         shuffle_buffer=0)))
+    assert len(full) == 16
+
+    # File-level: 2 shards over 4 files.
+    parts_f = [set(clip_keys(tfr_data_loader(
+        pattern, batch_size=1, timesteps=4, shuffle_buffer=0,
+        shard_index=i, shard_count=2))) for i in range(2)]
+    assert parts_f[0].isdisjoint(parts_f[1])
+    assert parts_f[0] | parts_f[1] == full
+
+    # Record-striding: 8 shards over 4 files forces the per-record path.
+    parts_r = [set(clip_keys(tfr_data_loader(
+        pattern, batch_size=1, timesteps=4, shuffle_buffer=0,
+        shard_index=i, shard_count=8))) for i in range(8)]
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert parts_r[i].isdisjoint(parts_r[j])
+    assert set().union(*parts_r) == full
+
+    # Shuffled epochs keep the same slice membership (only order changes).
+    ld = tfr_data_loader(pattern, batch_size=1, timesteps=4,
+                         shuffle_buffer=100, seed=3,
+                         shard_index=1, shard_count=8)
+    assert set(clip_keys(ld)) == parts_r[1]
+    assert set(clip_keys(ld)) == parts_r[1]
+
+
 def test_prepare_batch_layout_and_disentangle():
     from pathtracker_tpu.data.prepare import prepare_batch
 

@@ -247,6 +247,136 @@ def test_clip_grad_bounds_update():
                                rtol=1e-6)
 
 
+def test_accum_steps_averages_microbatch_gradients():
+    """--accum-steps K: no update until the K-th micro-batch, then one Adam
+    step on the MEAN of the K micro-gradients (K x effective batch)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pathtracker_tpu.train.steps import make_optimizer
+
+    params = {"w": jnp.asarray([1.0, -2.0, 0.5, 3.0])}
+    g1 = {"w": jnp.asarray([3.0, -4.0, 1.0, 0.0])}
+    g2 = {"w": jnp.asarray([-1.0, 2.0, 1.0, 6.0])}
+
+    acc = make_optimizer(1e-3, accum_steps=2)
+    st = acc.init(params)
+    upd1, st = acc.update(g1, st, params)
+    # Mid-window: the emitted update must be exactly zero.
+    np.testing.assert_array_equal(np.asarray(upd1["w"]), np.zeros(4))
+    upd2, st = acc.update(g2, st, params)
+
+    ref = make_optimizer(1e-3)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+    ref_upd, _ = ref.update(g_mean, ref.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd2["w"]),
+                               np.asarray(ref_upd["w"]), rtol=1e-6)
+
+    # Composes with clipping: the clip applies to the averaged gradient.
+    accclip = make_optimizer(1e-3, clip_grad=0.5, accum_steps=2)
+    stc = accclip.init(params)
+    _, stc = accclip.update(g1, stc, params)
+    updc, _ = accclip.update(g2, stc, params)
+    refclip = make_optimizer(1e-3, clip_grad=0.5)
+    refc_upd, _ = refclip.update(g_mean, refclip.init(params), params)
+    np.testing.assert_allclose(np.asarray(updc["w"]),
+                               np.asarray(refc_upd["w"]), rtol=1e-6)
+
+
+def test_accum_steps_trains_e2e(tmp_path):
+    """--accum-steps runs end-to-end through the train loop (opt-state
+    pytree with MultiSteps wrapper survives the step/checkpoint path)."""
+    os.environ["PATHTRACKER_DATA_ROOT"] = str(tmp_path / "data")
+    os.environ["PATHTRACKER_SYNTH_TRAIN"] = "16"
+    os.environ["PATHTRACKER_SYNTH_TEST"] = "16"
+
+    from pathtracker_tpu.train.loop import main
+    from pathtracker_tpu.utils.opts import build_parser
+
+    args = build_parser().parse_args([
+        "--model", "InT", "--name", "accum_e2e", "--length", "8",
+        "--speed", "1", "--dist", "1", "-b", "4", "--lr", "1e-3",
+        "--epochs", "1", "-d", "4", "-k", "3", "--print-freq", "1",
+        "--accum-steps", "2", "--results-dir", str(tmp_path / "results")])
+    main(args, max_steps_per_epoch=2)
+    res = tmp_path / "results" / "8_1_1" / "accum_e2e"
+    assert (res / "train.npz").exists()
+    hp = np.load(res / "hp_dict.npz", allow_pickle=True)
+    assert int(hp["accum_steps"]) == 2
+
+
+def test_ema_tracks_parameter_average():
+    """--ema DECAY: optimizer state carries ema <- d*ema + (1-d)*params
+    after every applied update; ema_params() reads it back."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pathtracker_tpu.train.steps import ema_params, make_optimizer
+
+    d = 0.9
+    tx = make_optimizer(1e-1, ema=d)
+    p = {"w": jnp.asarray([1.0, -2.0, 0.5])}
+    st = tx.init(p)
+    np.testing.assert_allclose(np.asarray(ema_params(st)["w"]),
+                               np.asarray(p["w"]))
+    expect = np.asarray(p["w"], dtype=np.float64)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        g = {"w": jnp.asarray(rng.normal(size=3), jnp.float32)}
+        upd, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, upd)
+        expect = d * expect + (1 - d) * np.asarray(p["w"], dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(ema_params(st)["w"]), expect,
+                               rtol=1e-5)
+    # Training params themselves are NOT averaged (trajectory untouched).
+    assert not np.allclose(np.asarray(p["w"]), expect)
+
+    # Composes with accumulation: mid-window (zero update) leaves the
+    # trajectory alone while ema keeps decaying toward the held params.
+    txa = make_optimizer(1e-1, accum_steps=2, ema=d)
+    sta = txa.init(p)
+    upd1, sta = txa.update({"w": jnp.zeros(3)}, sta, p)
+    np.testing.assert_array_equal(np.asarray(upd1["w"]), np.zeros(3))
+
+
+def test_ema_trains_e2e(tmp_path):
+    """--ema runs end-to-end; best-val checkpoints hold the EMA weights."""
+    os.environ["PATHTRACKER_DATA_ROOT"] = str(tmp_path / "data")
+    os.environ["PATHTRACKER_SYNTH_TRAIN"] = "16"
+    os.environ["PATHTRACKER_SYNTH_TEST"] = "16"
+
+    import jax
+
+    from pathtracker_tpu.train import checkpoint as ckpt_lib
+    from pathtracker_tpu.train.loop import main
+    from pathtracker_tpu.utils.opts import build_parser
+
+    args = build_parser().parse_args([
+        "--model", "InT", "--name", "ema_e2e", "--length", "8",
+        "--speed", "1", "--dist", "1", "-b", "4", "--lr", "1e-2",
+        "--epochs", "1", "-d", "4", "-k", "3", "--print-freq", "1",
+        "--ema", "0.5", "--results-dir", str(tmp_path / "results")])
+    result = main(args, max_steps_per_epoch=2)
+    res = tmp_path / "results" / "8_1_1" / "ema_e2e"
+    hp = np.load(res / "hp_dict.npz", allow_pickle=True)
+    assert str(hp["ema"]) == "0.5"
+    # The best-val checkpoint holds the EMA weights — different from the
+    # raw trajectory in the rolling last-epoch checkpoint.
+    saved = sorted((res / "saved_models").glob("model_val_acc_*.tar"))
+    assert saved, "no best-val checkpoint written"
+    best = ckpt_lib.load_checkpoint(str(saved[-1]))["state_dict"]
+    raw = ckpt_lib.load_checkpoint(
+        str(res / "saved_models" / "model_last_epoch_checkpoint.pth.tar")
+    )["state_dict"]
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for (_, a), (_, b) in zip(
+                 jax.tree_util.tree_leaves_with_path(best),
+                 jax.tree_util.tree_leaves_with_path(raw))]
+    assert max(diffs) > 0, "EMA checkpoint identical to raw weights"
+
+
 def test_max_steps_counts_optimizer_steps_under_fusion(tmp_path):
     """max_steps_per_epoch is an OPTIMIZER-step budget: with --fused-steps k
     each loop iteration runs a k-step window, and the cap must not multiply
