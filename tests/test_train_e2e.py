@@ -377,6 +377,41 @@ def test_ema_trains_e2e(tmp_path):
     assert max(diffs) > 0, "EMA checkpoint identical to raw weights"
 
 
+def test_ema_composes_with_fused_resident_windows(tmp_path):
+    """--ema + --device-data --fused-steps: the EMA tree lives in optimizer
+    state, so it must thread through the fused lax.scan window and end up
+    a real average (not aliased to the raw weights)."""
+    os.environ["PATHTRACKER_DATA_ROOT"] = str(tmp_path / "data")
+    os.environ["PATHTRACKER_SYNTH_TRAIN"] = "16"
+    os.environ["PATHTRACKER_SYNTH_TEST"] = "16"
+
+    from pathtracker_tpu.train import checkpoint as ckpt_lib
+    from pathtracker_tpu.train.loop import main
+    from pathtracker_tpu.utils.opts import build_parser
+
+    args = build_parser().parse_args([
+        "--model", "InT", "--name", "ema_fused", "--length", "8",
+        "--speed", "1", "--dist", "1", "-b", "4", "--lr", "1e-2",
+        "--epochs", "1", "-d", "4", "-k", "3", "--print-freq", "1",
+        "--ema", "0.5", "--device-data", "--fused-steps", "2",
+        "--results-dir", str(tmp_path / "results")])
+    main(args, max_steps_per_epoch=2)
+    res = tmp_path / "results" / "8_1_1" / "ema_fused"
+    saved = sorted((res / "saved_models").glob("model_val_acc_*.tar"))
+    assert saved, "no best-val checkpoint written"
+    best = ckpt_lib.load_checkpoint(str(saved[-1]))["state_dict"]
+    raw = ckpt_lib.load_checkpoint(
+        str(res / "saved_models" / "model_last_epoch_checkpoint.pth.tar")
+    )["state_dict"]
+    import jax
+
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for (_, a), (_, b) in zip(
+                 jax.tree_util.tree_leaves_with_path(best),
+                 jax.tree_util.tree_leaves_with_path(raw))]
+    assert max(diffs) > 0, "EMA checkpoint identical to raw weights"
+
+
 def test_max_steps_counts_optimizer_steps_under_fusion(tmp_path):
     """max_steps_per_epoch is an OPTIMIZER-step budget: with --fused-steps k
     each loop iteration runs a k-step window, and the cap must not multiply
