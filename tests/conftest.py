@@ -24,6 +24,15 @@ import jax  # noqa: E402  (may already be loaded by sitecustomize)
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall clock is dominated by the
+# model-zoo compiles (~20 min cold); cached XLA executables make repeat runs
+# minutes instead. The 2s threshold keeps thousands of trivial jits out.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import pytest  # noqa: E402
 
 
