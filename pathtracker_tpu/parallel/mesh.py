@@ -141,3 +141,43 @@ def fsdp_shard_params(mesh: Mesh, params, axis: str = "data"):
     not guaranteed to shard freshly-created zeros."""
     shardings = fsdp_shardings(mesh, params, axis)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def hybrid_shardings(mesh: Mesh, params, data_axis: str = "data",
+                     model_axis: str = "model", min_elements: int = 2):
+    """FSDP x TP on a 2-D mesh: output channels (last dim) shard over the
+    model axis (tensor parallelism, as channel_shardings), and the LARGEST
+    REMAINING divisible dim shards over the data axis (ZeRO) — each device
+    holds 1/(n_data*n_model) of every large param. The standard layout for
+    params too big for tp alone; here it exists so the mesh design is shown
+    to compose (tests pin single-device numerics)."""
+    n_data = mesh.shape[data_axis]
+    n_model = mesh.shape[model_axis]
+
+    def spec_for(v):
+        shape = np.shape(v)
+        spec = [None] * len(shape)
+        tp_dim = None
+        if shape and shape[-1] % n_model == 0 and shape[-1] >= n_model:
+            tp_dim = len(shape) - 1
+            spec[tp_dim] = model_axis
+        if shape and max(shape) >= max(n_data, min_elements):
+            best = -1
+            for i, d in enumerate(shape):
+                if i == tp_dim:
+                    continue
+                if d % n_data == 0 and (best < 0 or d > shape[best]):
+                    best = i
+            if best >= 0:
+                spec[best] = data_axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(spec_for, params)
+
+
+def hybrid_shard_params(mesh: Mesh, params, data_axis: str = "data",
+                        model_axis: str = "model"):
+    """device_put a pytree with hybrid_shardings (also for optimizer state,
+    same shape-based caveat as fsdp_shard_params)."""
+    shardings = hybrid_shardings(mesh, params, data_axis, model_axis)
+    return jax.tree.map(jax.device_put, params, shardings)

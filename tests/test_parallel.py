@@ -149,6 +149,46 @@ def test_fsdp_sharded_step_matches_single_device(mesh8):
                                    err_msg=jax.tree_util.keystr(ka))
 
 
+def test_hybrid_fsdp_tp_matches_single_device(mesh8):
+    """FSDP x TP on a 4x2 ('data','model') mesh: channels sharded over
+    'model' AND another dim over 'data' for the same param — one train step
+    must match single-device numerics."""
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
+
+    model = InT(dimensions=8, timesteps=3, kernel_size=3)
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, size=(8, 3, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(8,), dtype=np.uint8)
+    sample = jnp.zeros((8, 3, 3, 16, 16), jnp.float32)
+    params0 = jax.device_get(model.init(jax.random.key(4), sample)["params"])
+    optimizer = make_optimizer(1e-3)
+
+    step = make_train_step(model, "InT", optimizer)
+    p_single, _, s_single = step(params0, optimizer.init(params0),
+                                 imgs, labels)
+
+    mesh2 = mesh_lib.make_mesh_2d(4, 2)
+    ph = mesh_lib.hybrid_shard_params(mesh2, params0)
+    specs = [str(v.sharding.spec) for v in jax.tree.leaves(ph)]
+    # At least one param sharded over BOTH axes (e.g. conv [3,3,8,8]:
+    # data on the input-channel dim, model on the output-channel dim).
+    assert any("data" in s and "model" in s for s in specs), specs
+    opth = mesh_lib.hybrid_shard_params(mesh2, optimizer.init(params0))
+    imh = jax.device_put(imgs, mesh_lib.batch_sharding(mesh2))
+    lbh = jax.device_put(labels, mesh_lib.batch_sharding(mesh2))
+    steph = make_train_step(model, "InT", optimizer)
+    p_h, _, s_h = steph(ph, opth, imh, lbh)
+
+    np.testing.assert_allclose(float(s_single["loss"]), float(s_h["loss"]),
+                               rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p_single)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p_h))):
+        np.testing.assert_allclose(va, vb, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
 def test_fsdp_sharding_rule():
     """fsdp_shardings shards the largest divisible dim and replicates tiny
     leaves (per-channel scalars)."""
