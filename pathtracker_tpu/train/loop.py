@@ -286,6 +286,25 @@ def main(args=None, max_steps_per_epoch: int | None = None):
                                ema=ema_decay)
     if args.ckpt is not None:
         params = engine.load_ckpt(params, args.ckpt)
+    if getattr(args, "auto_resume", False):
+        # Self-healing restarts for bounded runs (`timeout N mainclean.py`):
+        # if this run dir already has the rolling last-epoch checkpoint
+        # (written every epoch and on SIGTERM), continue from it — params
+        # AND start epoch — so a relauncher needs no --ckpt/--start-epoch
+        # wiring. An explicit --ckpt still applies first (warm start), then
+        # any rolling state supersedes it.
+        rolling = os.path.join(results_folder, "saved_models",
+                               "model_last_epoch_checkpoint.pth.tar")
+        if os.path.exists(rolling):
+            from pathtracker_tpu.train import checkpoint as _ckpt_lib
+
+            state = _ckpt_lib.load_checkpoint(rolling)
+            params = engine.load_ckpt(params, rolling)
+            resume_epoch = int(state.get("epoch", 0)) + 1
+            if resume_epoch > args.start_epoch:
+                args.start_epoch = resume_epoch
+            print(f"auto-resume: rolling checkpoint found, continuing from "
+                  f"epoch {args.start_epoch}")
     opt_state = optimizer.init(params)
 
     prep = {"disentangle_channels": disentangle_channels,

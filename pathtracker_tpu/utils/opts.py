@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "before each Adam update (optax.MultiSteps) — "
                              "K x the effective batch without the memory; "
                              "epoch step budgets count micro-batches")
+    parser.add_argument("--auto-resume", default=False, action="store_true",
+                        dest="auto_resume",
+                        help="if the run dir has a rolling last-epoch "
+                             "checkpoint, continue from it (params + epoch) "
+                             "— self-healing restarts for timeout-bounded "
+                             "runs; an explicit --ckpt still warm-starts "
+                             "first")
     parser.add_argument("--ema", type=float, default=None, metavar="DECAY",
                         help="maintain an EMA of the weights (e.g. 0.999); "
                              "validation + best-val checkpoints use the EMA "

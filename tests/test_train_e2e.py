@@ -412,6 +412,37 @@ def test_ema_composes_with_fused_resident_windows(tmp_path):
     assert max(diffs) > 0, "EMA checkpoint identical to raw weights"
 
 
+def test_auto_resume_continues_from_rolling_checkpoint(tmp_path):
+    """--auto-resume: a relaunched run finds the rolling last-epoch
+    checkpoint in its run dir and continues (params + epoch) without any
+    --ckpt/--start-epoch wiring."""
+    os.environ["PATHTRACKER_DATA_ROOT"] = str(tmp_path / "data")
+    os.environ["PATHTRACKER_SYNTH_TRAIN"] = "16"
+    os.environ["PATHTRACKER_SYNTH_TEST"] = "16"
+
+    from pathtracker_tpu.train.loop import main
+    from pathtracker_tpu.utils.opts import build_parser
+
+    argv = ["--model", "InT", "--name", "ar", "--length", "8",
+            "--speed", "1", "--dist", "1", "-b", "4", "--lr", "1e-3",
+            "-d", "4", "-k", "3", "--print-freq", "1",
+            "--results-dir", str(tmp_path / "results"), "--auto-resume"]
+    # First launch: nothing to resume, trains epoch 0.
+    main(build_parser().parse_args(argv + ["--epochs", "1"]),
+         max_steps_per_epoch=2)
+    res = tmp_path / "results" / "8_1_1" / "ar"
+    assert (res / "saved_models" /
+            "model_last_epoch_checkpoint.pth.tar").exists()
+    txt0 = (res / "ar.txt").read_text()
+    assert "Epoch: [0]" in txt0 and "Epoch: [1]" not in txt0
+
+    # Relaunch (same command, higher budget): must start at epoch 1.
+    main(build_parser().parse_args(argv + ["--epochs", "2"]),
+         max_steps_per_epoch=2)
+    txt1 = (res / "ar.txt").read_text()
+    assert "Epoch: [1]" in txt1
+
+
 def test_max_steps_counts_optimizer_steps_under_fusion(tmp_path):
     """max_steps_per_epoch is an OPTIMIZER-step budget: with --fused-steps k
     each loop iteration runs a k-step window, and the cap must not multiply
