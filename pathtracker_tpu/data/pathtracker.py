@@ -144,3 +144,39 @@ def make_synthetic_dataset(
             path = os.path.join(root, f"{split}-{shard:05d}-of-{shards:05d}.tfrecord")
             write_tfrecord_file(path, payloads)
     return root
+
+
+def _main():
+    """CLI: render a PathTracker TFRecord dataset.
+
+        python -m pathtracker_tpu.data.pathtracker \
+            --root datasets/64_1_14 --length 64 --dist 14 \
+            --train 20000 --test 20000 --shards 10
+
+    Produces the exact GZIP TFRecord schema the reference's loaders read
+    (reference utils/TFRDataset.py:7-12) under the 'train-*'/'test-*'
+    naming its scripts glob — the reference itself ships no generator (its
+    data lives on a private cluster, reference utils/engine.py:345-404)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--train", type=int, default=20000)
+    ap.add_argument("--test", type=int, default=20000)
+    ap.add_argument("--length", type=int, default=64, help="frames per clip")
+    ap.add_argument("--dist", type=int, default=14, help="distractor count")
+    ap.add_argument("--speed", type=float, default=1.0)
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--shards", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    out = make_synthetic_dataset(
+        a.root, n_train=a.train, n_test=a.test, timesteps=a.length,
+        size=a.size, n_distractors=a.dist, speed=a.speed, shards=a.shards,
+        seed=a.seed)
+    print(f"wrote {a.train}+{a.test} clips (T={a.length}, dist={a.dist}, "
+          f"speed={a.speed:g}) under {out}")
+
+
+if __name__ == "__main__":
+    _main()
