@@ -206,7 +206,8 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         # per-process batch is the global batch / process_count (standard
         # SPMD input feeding; single-host this is a no-op).
         nproc, pidx = jax.process_count(), jax.process_index()
-        per_proc_batch = args.batch_size // nproc if nproc > 1 else args.batch_size
+        per_proc_batch = (max(1, args.batch_size // nproc) if nproc > 1
+                          else args.batch_size)
         print("Loading training dataset")
         train_loader = tfr_data_loader(
             data_dir=pf_root + "train-*", batch_size=per_proc_batch,
