@@ -251,6 +251,53 @@ def measure_infer(batch: int = 128, timesteps: int = 64, iters: int = 20,
     }
 
 
+def measure_data(batch: int = 128, timesteps: int = 64, iters: int = 2,
+                 pure_python: bool = False) -> dict:
+    """HOST input-pipeline throughput (no device work): the TFRecord
+    pipeline — GZIP inflate + proto parse (native C++ decoder unless
+    pure_python) + shuffle + index-gather batching + prefetch thread —
+    over the canonical on-disk shards. The pipeline must outpace the chip
+    (headline 671 clips/s consumed) for the streamed path to never stall;
+    this measures by how much. Runs on any backend (pure host code)."""
+    import glob as _g
+
+    from pathtracker_tpu.data import native as _native
+    from pathtracker_tpu.data.pipeline import tfr_data_loader
+    from pathtracker_tpu.data.registry import dataset_selector
+
+    os.environ.setdefault("PATHTRACKER_DATA_ROOT",
+                          os.path.join(os.path.dirname(__file__), "datasets"))
+    root, t, _, _ = dataset_selector(dist=14, speed=1, length=timesteps)
+    pattern = os.environ.get("BENCH_DATA_GLOB", root + "train-*")
+    if not _g.glob(pattern):
+        raise FileNotFoundError(f"no shards match {pattern}")
+
+    restore = None
+    if pure_python and _native.available():
+        restore, _native.available = _native.available, lambda: False
+    try:
+        loader = tfr_data_loader(pattern, batch_size=batch, timesteps=t,
+                                 shuffle_buffer=1000, seed=0)
+        n_warm = sum(b.shape[0] for b, _ in loader)  # warm page cache + pools
+        t0 = time.perf_counter()
+        clips = 0
+        for _ in range(iters):
+            for b, lbl in loader:
+                clips += b.shape[0]
+        dt = time.perf_counter() - t0
+    finally:
+        if restore is not None:
+            _native.available = restore
+    return {
+        "clips_per_sec": clips / dt,
+        "decoder": "pure_python" if pure_python else (
+            "native_cc" if _native.available() else "pure_python"),
+        "batch": batch,
+        "timesteps": t,
+        "epoch_clips": n_warm,
+    }
+
+
 def measure_model(model_name: str, batch: int, timesteps: int = 64,
                   iters: int = 10, warmup: int = 3, bf16: bool = True) -> dict:
     """Full jitted train step (uint8 in, prep + forward + BCE + backward +
@@ -298,6 +345,21 @@ def measure_model(model_name: str, batch: int, timesteps: int = 64,
 
 
 def main():
+    # BENCH_DATA=1: host-only pipeline throughput — no device backend needed.
+    if int(os.environ.get("BENCH_DATA", 0)):
+        res = measure_data(
+            batch=int(os.environ.get("BENCH_BATCH", 128)),
+            timesteps=int(os.environ.get("BENCH_T", 64)),
+            iters=int(os.environ.get("BENCH_ITERS", 2)),
+            pure_python=bool(int(os.environ.get("BENCH_DATA_PURE", 0))))
+        print(json.dumps({
+            "metric": f"host TFRecord pipeline clips/sec "
+                      f"({res['decoder']}), {res['timesteps']}-frame clips",
+            "value": round(res["clips_per_sec"], 2),
+            "unit": "clips/sec", "vs_baseline": 1.0,
+            "protocol": "host_pipeline_epochs", **res}))
+        return
+
     _require_backend(float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", 240)))
     # Batch 128 sits at the measured latency cliff: step latency is flat
     # (~0.19 s) for batch <= 128 and doubles above it (measured 64/96/128 ->
