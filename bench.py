@@ -265,10 +265,14 @@ def measure_data(batch: int = 128, timesteps: int = 64, iters: int = 2,
     from pathtracker_tpu.data.pipeline import tfr_data_loader
     from pathtracker_tpu.data.registry import dataset_selector
 
-    os.environ.setdefault("PATHTRACKER_DATA_ROOT",
-                          os.path.join(os.path.dirname(__file__), "datasets"))
-    root, t, _, _ = dataset_selector(dist=14, speed=1, length=timesteps)
-    pattern = os.environ.get("BENCH_DATA_GLOB", root + "train-*")
+    pattern = os.environ.get("BENCH_DATA_GLOB")
+    t = timesteps
+    if not pattern:
+        os.environ.setdefault(
+            "PATHTRACKER_DATA_ROOT",
+            os.path.join(os.path.dirname(__file__), "datasets"))
+        root, t, _, _ = dataset_selector(dist=14, speed=1, length=timesteps)
+        pattern = root + "train-*"
     if not _g.glob(pattern):
         raise FileNotFoundError(f"no shards match {pattern}")
 

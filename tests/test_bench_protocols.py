@@ -35,3 +35,18 @@ def test_measure_infer_tiny():
     res = bench.measure_infer(batch=2, timesteps=4, iters=2, warmup=1)
     assert np.isfinite(res["clips_per_sec"]) and res["clips_per_sec"] > 0
     assert np.isfinite(res["p50_batch_latency_s"])
+
+
+def test_measure_data_tiny(tmp_path, monkeypatch):
+    from pathtracker_tpu.data.pathtracker import make_synthetic_dataset
+
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, n_train=12, n_test=2, timesteps=4, shards=2)
+    monkeypatch.setenv("BENCH_DATA_GLOB", os.path.join(root, "train-*"))
+    res = bench.measure_data(batch=4, timesteps=4, iters=1)
+    assert np.isfinite(res["clips_per_sec"]) and res["clips_per_sec"] > 0
+    assert res["epoch_clips"] == 12
+    res_py = bench.measure_data(batch=4, timesteps=4, iters=1,
+                                pure_python=True)
+    assert res_py["decoder"] == "pure_python"
+    assert np.isfinite(res_py["clips_per_sec"]) and res_py["clips_per_sec"] > 0
