@@ -267,6 +267,14 @@ void* ptdata_read_file(const char* path, int clip_bytes) {
     ++count;
     pos += length + 4;
   }
+  // A well-formed TFRecord ends exactly on a record boundary. Leftover bytes
+  // mean the inner framing is cut (truncated copy that still closed its gzip
+  // member): fail loudly — silently dropping the tail records would train on
+  // a fraction of the shard with no error.
+  if (pos != data.size()) {
+    ReleaseHandle(h);
+    return nullptr;
+  }
   h->clips.reserve(static_cast<size_t>(count) * clip_bytes);
   h->labels.reserve(count);
   // Second pass: parse and append straight into the contiguous buffer.

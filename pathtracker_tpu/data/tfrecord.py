@@ -229,12 +229,22 @@ def read_tfrecord_file(path: str, compression: str = "GZIP", verify_crc: bool = 
     pos = 0
     n = len(data)
     while pos < n:
+        # Explicit truncation checks: a clipped shard (interrupted copy,
+        # partial download) must fail loudly here, not as a cryptic
+        # struct/reshape error — or worse, a silently short payload.
+        if pos + 12 > n:
+            raise ValueError(
+                f"truncated TFRecord: header cut at offset {pos}/{n} in {path}")
         (length,) = struct.unpack("<Q", data[pos : pos + 8])
         if verify_crc:
             (lcrc,) = struct.unpack("<I", data[pos + 8 : pos + 12])
             if masked_crc32c(data[pos : pos + 8]) != lcrc:
                 raise ValueError(f"bad length crc at offset {pos} in {path}")
         pos += 12
+        if pos + length + 4 > n:
+            raise ValueError(
+                f"truncated TFRecord: record of {length} bytes cut at offset "
+                f"{pos}/{n} in {path}")
         payload = data[pos : pos + length]
         if verify_crc:
             (dcrc,) = struct.unpack("<I", data[pos + length : pos + length + 4])

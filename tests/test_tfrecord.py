@@ -125,6 +125,39 @@ def test_synthetic_dataset_and_loader(tmp_path):
     assert len(list(loader)) == 2
 
 
+def test_truncated_shard_fails_loudly(tmp_path):
+    """A clipped shard (interrupted copy) must raise in BOTH decoders — never
+    silently yield a partial dataset (the 'train on a fraction with no
+    error' failure mode)."""
+    import gzip
+
+    from pathtracker_tpu.data import native as native_mod
+    from pathtracker_tpu.data.tfrecord import read_tfrecord_file
+
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, n_train=6, n_test=2, timesteps=4, shards=1)
+    path = os.path.join(root, "train-00000-of-00001.tfrecord")
+
+    # Cut the INNER framing mid-record (drop the last 100 bytes — less than
+    # one record's payload+crc tail) but keep the gzip member valid.
+    raw = gzip.open(path, "rb").read()
+    cut = os.path.join(root, "cut.tfrecord")
+    with gzip.open(cut, "wb") as f:
+        f.write(raw[: len(raw) - 100])
+
+    with pytest.raises(ValueError, match="truncated TFRecord"):
+        list(read_tfrecord_file(cut))
+    if native_mod.available():
+        with pytest.raises(IOError):
+            native_mod.ShardView(cut, 4, 32, 32)
+
+    # Intact file still reads fully through both paths.
+    assert len(list(read_tfrecord_file(path))) == 6
+    if native_mod.available():
+        with native_mod.ShardView(path, 4, 32, 32) as sv:
+            assert len(sv) == 6
+
+
 def test_multihost_sharding_disjoint_union(tmp_path):
     """shard_index/shard_count (multi-host data sharding): processes see
     DISJOINT slices whose union is the full dataset — both the file-level
