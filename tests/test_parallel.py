@@ -62,6 +62,43 @@ def test_sharded_train_step_matches_single_device(mesh8):
                                    err_msg=jax.tree_util.keystr(ka))
 
 
+def test_sharded_bf16_step_matches_single_device(mesh8):
+    """The PRODUCTION config is --parallel --bf16: the mixed-precision path
+    (bf16 MXU inputs, f32 state/BN/loss) must also be device-count
+    invariant — sync-BN and the grad all-reduce operate on the f32 side, so
+    the sharded step should track the single-device step to f32-ish
+    tolerance, not bf16 tolerance."""
+    from pathtracker_tpu.models.int_circuit import InT
+    from pathtracker_tpu.train.steps import make_optimizer, make_train_step
+
+    model = InT(dimensions=8, timesteps=4, kernel_size=3, dtype="bfloat16")
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 255, size=(16, 4, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 2, size=(16,), dtype=np.uint8)
+    sample = jnp.zeros((16, 3, 4, 16, 16), jnp.float32)
+    params0 = jax.device_get(model.init(jax.random.key(1), sample)["params"])
+    optimizer = make_optimizer(1e-3)
+
+    step = make_train_step(model, "InT", optimizer)
+    p_single, _, s_single = step(params0, optimizer.init(params0),
+                                 imgs, labels)
+
+    params = mesh_lib.replicate_tree(mesh8, params0)
+    opt = mesh_lib.replicate_tree(mesh8, optimizer.init(params0))
+    ims = jax.device_put(imgs, mesh_lib.batch_sharding(mesh8))
+    lbs = jax.device_put(labels, mesh_lib.batch_sharding(mesh8))
+    steps = make_train_step(model, "InT", optimizer)
+    p_shard, _, s_shard = steps(params, opt, ims, lbs)
+
+    np.testing.assert_allclose(float(s_single["loss"]),
+                               float(s_shard["loss"]), rtol=1e-4)
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p_single)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(p_shard))):
+        np.testing.assert_allclose(va, vb, atol=5e-4,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
 def test_2d_mesh_tensor_parallel_matches_single_device(mesh8):
     """dp x tp (4 x 2 mesh, channel-sharded params) must match the
     single-device step numerically."""
