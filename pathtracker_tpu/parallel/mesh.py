@@ -49,6 +49,22 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def put_global_batch(x, sharding: NamedSharding):
+    """Device-put one process's slice of a globally batch-sharded array.
+
+    Single-process this is jax.device_put. Multi-process, each host holds a
+    DISJOINT per-process slice of the global batch (data/pipeline.py shards
+    the TFRecord stream by process index), so plain device_put would be
+    wrong — it treats its argument as the GLOBAL value, silently feeding a
+    different "global" batch on every host. make_array_from_process_local_data
+    assembles the true global array from the per-process slices instead
+    (tests/test_multihost.py pins both the assembly order and the resulting
+    loss against a single-process control)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 # ---------------------------------------------------------------------------
 # Model (tensor) parallelism — additive capability beyond the reference.
 # ---------------------------------------------------------------------------

@@ -42,7 +42,10 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     buf = deque()
     for item in iterator:
         if sharding is not None:
-            item = tuple(jax.device_put(x, sharding) for x in item)
+            # Multi-host safe: each process feeds its DISJOINT slice of the
+            # global batch (mesh_lib.put_global_batch assembles the global
+            # array; single-process it is a plain device_put).
+            item = tuple(mesh_lib.put_global_batch(x, sharding) for x in item)
         else:
             item = tuple(jax.device_put(x) for x in item)
         buf.append(item)
@@ -139,12 +142,20 @@ def load_pretrained(params, model_name: str):
 
 
 def validate(val_loader, eval_step, params, args, results_folder,
-             len_val_loader, logiters=None, disentangle_channels=False):
-    """Validation loop (reference mainclean.py:54-98)."""
+             len_val_loader, logiters=None, disentangle_channels=False,
+             sharding=None):
+    """Validation loop (reference mainclean.py:54-98).
+
+    `sharding` (a batch NamedSharding) makes the host-streamed path
+    multi-host correct: each process's disjoint val slice is assembled into
+    the global batch before the jitted eval step (put_global_batch). Pass
+    None when the loader already yields device-resident arrays."""
     meters = {k: AverageMeter() for k in
               ("loss", "balacc", "precision", "recall", "f1score", "batch_time")}
+    batches = (device_prefetch(iter(val_loader), sharding)
+               if sharding is not None else val_loader)
     end = time.time()
-    for i, (imgs, target) in enumerate(val_loader):
+    for i, (imgs, target) in enumerate(batches):
         stats = eval_step(params, imgs, target)
         meters["loss"].update(float(stats["loss"]), 1)
         meters["balacc"].update(float(stats["balacc"]), 1)
@@ -465,7 +476,10 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         accv, precv, recv, f1sv, losv = validate(
             val_loader, eval_step, eval_params, args, results_folder,
             len_val_loader, logiters=3,
-            disentangle_channels=disentangle_channels)
+            disentangle_channels=disentangle_channels,
+            # device_data loaders already yield device-resident sharded
+            # arrays; only the host-streamed path needs assembly.
+            sharding=None if device_data else sharding)
         line = f"val f {f1sv} val loss {losv}"
         print(line)
         val_log_dict["loss"].append(losv)
