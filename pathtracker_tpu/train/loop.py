@@ -185,6 +185,13 @@ def validate(val_loader, eval_step, params, args, results_folder,
 def main(args=None, max_steps_per_epoch: int | None = None):
     if args is None:
         args = parser.parse_args()
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        # Multi-host launch: every host runs this same CLI with
+        # COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID set (on TPU pods the
+        # runtime auto-detects instead). Must happen before any device use.
+        from pathtracker_tpu.parallel import distributed
+
+        distributed.initialize()
     assert args.dist is not None, "You must pass a PT distance."
     assert args.speed is not None, "You must pass a PT speed."
     assert args.length is not None, "You must pass a PT length."

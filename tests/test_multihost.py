@@ -102,3 +102,59 @@ def test_two_process_train_step_matches_single_process():
 
     assert l0 == pytest.approx(loss_ctrl, abs=2e-6), (l0, loss_ctrl)
     assert f0 == pytest.approx(fp_ctrl, rel=1e-5), (f0, fp_ctrl)
+
+
+def test_two_process_mainclean_cli(tmp_path):
+    """The actual train CLI spans two processes: every host runs the same
+    `mainclean.py` command with COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+    set (train/loop.py initializes jax.distributed from those), loads its
+    disjoint TFRecord slice at global_batch/nprocs, and only the coordinator
+    writes real artifacts."""
+    port = _free_port()
+    data_root = tmp_path / "data"
+    results = {0: tmp_path / "results0", 1: tmp_path / "results1"}
+    procs = []
+    for rank in (0, 1):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": "",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "PYTHONPATH": REPO + (os.pathsep + env["PYTHONPATH"]
+                                  if env.get("PYTHONPATH") else ""),
+            "COORDINATOR_ADDRESS": f"localhost:{port}",
+            "NUM_PROCESSES": "2",
+            "PROCESS_ID": str(rank),
+            "PATHTRACKER_DATA_ROOT": str(data_root),
+            "PATHTRACKER_SYNTH_TRAIN": "32",
+            "PATHTRACKER_SYNTH_TEST": "32",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "mainclean.py", "--model", "InT", "--name",
+             "mh", "--length", "8", "--speed", "1", "--dist", "5",
+             "-b", "8", "-d", "8", "-k", "3", "--epochs", "1",
+             "--print-freq", "1", "--parallel",
+             "--results-dir", str(results[rank])],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=840)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed (rc={p.returncode}):\n{out}"
+    assert "device count: 8" in outs[0], outs[0]
+
+    # Coordinator-only artifacts: rank 0 writes the run dir (train/val npz +
+    # a checkpoint); rank 1's results dir stays unused (it diverts to a
+    # throwaway tempdir).
+    run0 = results[0] / "8_1_5" / "mh"
+    assert (run0 / "train.npz").exists() and (run0 / "val.npz").exists()
+    assert list((run0 / "saved_models").glob("*.tar")), "no checkpoint saved"
+    assert not (results[1] / "8_1_5" / "mh" / "train.npz").exists()
+
+    # Identical replicated metrics on both ranks: the final val log line
+    # (printed by every process) must agree.
+    val0 = [ln for ln in outs[0].splitlines() if ln.startswith("val f")]
+    val1 = [ln for ln in outs[1].splitlines() if ln.startswith("val f")]
+    assert val0 and val0 == val1, (val0, val1)
