@@ -348,6 +348,52 @@ def measure_model(model_name: str, batch: int, timesteps: int = 64,
     }
 
 
+def _yield_device(pidfile: str, wait_s: float = 120.0) -> None:
+    """Ask a long-running training job to yield the single-client TPU.
+
+    The chip admits one client at a time (CLAUDE.md): if a background
+    fine-tune is mid-flight when the benchmark starts, both would serialize
+    and look hung. Training runs record their pid in a pidfile and install a
+    graceful SIGTERM handler (finish the step, save the rolling checkpoint,
+    exit 0 — train/loop.py), so the benchmark can safely ask it to stop.
+    Only a live pid whose cmdline looks like one of our training CLIs is
+    signalled — never a pattern match, never this process."""
+    import signal
+
+    try:
+        pid = int(open(pidfile).read().strip())
+    except (OSError, ValueError):
+        return
+    if pid == os.getpid():
+        return
+    try:
+        cmdline = open(f"/proc/{pid}/cmdline", "rb").read().decode(
+            errors="replace")
+    except OSError:
+        return  # not running
+    if "mainclean" not in cmdline and "pathtracker" not in cmdline:
+        return  # pid reused by something else — leave it alone
+    print(f"bench: asking training pid {pid} to yield the device "
+          f"(SIGTERM, graceful checkpoint+exit)", file=sys.stderr, flush=True)
+    try:
+        os.kill(pid, signal.SIGTERM)
+    except OSError:
+        return
+    deadline = time.perf_counter() + wait_s
+    while time.perf_counter() < deadline:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                state = f.read().rsplit(")", 1)[1].split()[0]
+        except OSError:
+            return  # exited
+        if state == "Z":
+            return  # exited, awaiting reap — the device is released
+        time.sleep(1.0)
+    print(f"bench: pid {pid} still alive after {wait_s:.0f}s — proceeding "
+          "anyway (backend probe below will abort if the chip stays held)",
+          file=sys.stderr, flush=True)
+
+
 def main():
     # BENCH_DATA=1: host-only pipeline throughput — no device backend needed.
     if int(os.environ.get("BENCH_DATA", 0)):
@@ -364,6 +410,7 @@ def main():
             "protocol": "host_pipeline_epochs", **res}))
         return
 
+    _yield_device(os.environ.get("BENCH_YIELD_PIDFILE", "/tmp/convrun.pid"))
     _require_backend(float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", 240)))
     # Batch 128 sits at the measured latency cliff: step latency is flat
     # (~0.19 s) for batch <= 128 and doubles above it (measured 64/96/128 ->
