@@ -50,3 +50,42 @@ def test_measure_data_tiny(tmp_path, monkeypatch):
                                 pure_python=True)
     assert res_py["decoder"] == "pure_python"
     assert np.isfinite(res_py["clips_per_sec"]) and res_py["clips_per_sec"] > 0
+
+
+def test_yield_device_guards(tmp_path):
+    """bench._yield_device must only signal a live pid whose cmdline looks
+    like one of our training CLIs — never a stale pid, never an unrelated
+    process — and must return promptly once the target exits (zombie
+    counts as released)."""
+    import subprocess
+    import sys
+    import time
+
+    pidfile = tmp_path / "run.pid"
+
+    # Missing / stale pidfiles are no-ops.
+    bench._yield_device(str(pidfile))
+    pidfile.write_text("999999")
+    bench._yield_device(str(pidfile))
+
+    # An unrelated live process is left alone.
+    bystander = subprocess.Popen([sys.executable, "-c",
+                                  "import time; time.sleep(30)"])
+    try:
+        pidfile.write_text(str(bystander.pid))
+        bench._yield_device(str(pidfile), wait_s=2)
+        assert bystander.poll() is None, "killed an unrelated process"
+    finally:
+        bystander.kill()
+        bystander.wait()
+
+    # A matching training process is SIGTERMed; the wait returns as soon
+    # as it dies (the zombie state before reaping counts as exited).
+    trainer = subprocess.Popen([sys.executable, "-c",
+                                "import time; time.sleep(30)",
+                                "mainclean-marker"])
+    pidfile.write_text(str(trainer.pid))
+    t0 = time.perf_counter()
+    bench._yield_device(str(pidfile), wait_s=20)
+    assert time.perf_counter() - t0 < 10
+    assert trainer.wait(timeout=5) != 0  # died by signal, not the sleep
