@@ -24,7 +24,8 @@ from pathtracker_tpu import engine
 from pathtracker_tpu.data.pipeline import tfr_data_loader
 from pathtracker_tpu.parallel import mesh as mesh_lib
 from pathtracker_tpu.train import checkpoint as ckpt_lib
-from pathtracker_tpu.train.steps import make_eval_step, make_optimizer, make_train_step
+from pathtracker_tpu.train.steps import (build_lr_schedule, make_eval_step,
+                                         make_optimizer, make_train_step)
 from pathtracker_tpu.utils.earlystopping import EarlyStopping
 from pathtracker_tpu.utils.meters import AverageMeter
 from pathtracker_tpu.utils.opts import parser
@@ -282,6 +283,7 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         "start_epoch": args.start_epoch,
         "epochs": args.epochs,
         "lr": args.lr,
+        "lr_schedule": getattr(args, "lr_schedule", "none"),
         "clip_grad": str(getattr(args, "clip_grad", None)),
         "accum_steps": getattr(args, "accum_steps", 1),
         "ema": str(getattr(args, "ema", None)),
@@ -299,10 +301,6 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     np.savez(os.path.join(results_folder, "hp_dict"), **hp_dict)
 
     ema_decay = getattr(args, "ema", None)
-    optimizer = make_optimizer(args.lr,
-                               clip_grad=getattr(args, "clip_grad", None),
-                               accum_steps=getattr(args, "accum_steps", 1),
-                               ema=ema_decay)
     if args.ckpt is not None:
         params = engine.load_ckpt(params, args.ckpt)
     if getattr(args, "auto_resume", False):
@@ -324,6 +322,22 @@ def main(args=None, max_steps_per_epoch: int | None = None):
                 args.start_epoch = resume_epoch
             print(f"auto-resume: rolling checkpoint found, continuing from "
                   f"epoch {args.start_epoch}")
+    # Optimizer after resume: an lr schedule is indexed by optimizer step
+    # (fresh Adam state counts from 0 on every (re)start, like the
+    # reference's restart flow), so offset it by the resumed epoch to
+    # continue the decay where the previous run stopped.
+    accum = max(1, getattr(args, "accum_steps", 1))
+    opt_steps_per_epoch = max(1, (len_train_loader // args.batch_size) // accum)
+    schedule = build_lr_schedule(
+        getattr(args, "lr_schedule", "none"), args.lr, opt_steps_per_epoch,
+        args.epochs, lr_steps=args.lr_steps,
+        warmup_epochs=getattr(args, "warmup_epochs", 0.0),
+        start_step=args.start_epoch * opt_steps_per_epoch)
+    optimizer = make_optimizer(args.lr,
+                               clip_grad=getattr(args, "clip_grad", None),
+                               accum_steps=accum,
+                               ema=ema_decay,
+                               schedule=schedule)
     opt_state = optimizer.init(params)
 
     prep = {"disentangle_channels": disentangle_channels,

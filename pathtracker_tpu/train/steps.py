@@ -23,10 +23,48 @@ from pathtracker_tpu.engine import model_step
 from pathtracker_tpu.utils.metrics import acc_scores, bce_with_logits, eval_accuracy
 
 
+def build_lr_schedule(kind: str, lr: float, steps_per_epoch: int,
+                      epochs: int, lr_steps=None,
+                      warmup_epochs: float = 0.0, gamma: float = 0.1,
+                      start_step: int = 0):
+    """Optax learning-rate schedule from epoch-level knobs, or None.
+
+    The reference *defined* a StepLR(step_size from --lr_steps) and never
+    stepped it (reference mainclean.py:160), so `kind='none'` — constant lr
+    — is the parity default. The other kinds make the flag real:
+
+      step          — x`gamma` at each epoch boundary in `lr_steps`
+      cosine        — cosine decay from lr to 0 over the full run
+      warmup_cosine — linear 0->lr over `warmup_epochs`, then cosine
+
+    Schedules are indexed by OPTIMIZER step, so `steps_per_epoch` must
+    already account for gradient accumulation. `start_step` offsets the
+    schedule for resumed runs (fresh Adam state restarts its count at 0,
+    but the decay should continue where the previous run stopped)."""
+    if not kind or kind == "none":
+        return None
+    spe = max(1, int(steps_per_epoch))
+    total = max(1, int(epochs) * spe)
+    if kind == "step":
+        boundaries = {int(float(e) * spe): gamma for e in (lr_steps or [])}
+        base = optax.piecewise_constant_schedule(lr, boundaries)
+    elif kind == "cosine":
+        base = optax.cosine_decay_schedule(lr, total)
+    elif kind == "warmup_cosine":
+        warm = max(1, int(float(warmup_epochs) * spe))
+        base = optax.warmup_cosine_decay_schedule(0.0, lr, warm, total)
+    else:
+        raise ValueError(f"unknown lr schedule '{kind}'")
+    if start_step:
+        return lambda step: base(step + start_step)
+    return base
+
+
 def make_optimizer(lr: float, lr_steps=None, gamma: float = 0.1,
                    clip_grad: float | None = None,
                    accum_steps: int = 1,
-                   ema: float | None = None
+                   ema: float | None = None,
+                   schedule=None
                    ) -> optax.GradientTransformation:
     """Adam with torch defaults (reference mainclean.py:157).
 
@@ -35,16 +73,19 @@ def make_optimizer(lr: float, lr_steps=None, gamma: float = 0.1,
     stepped it (reference mainclean.py:160) — the train loop matches that by
     not passing lr_steps; the capability is here for real use.
 
+    schedule: a prebuilt optax schedule (see build_lr_schedule) — takes
+    precedence over lr/lr_steps. This is what `--lr-schedule` wires in.
+
     clip_grad: optional global-norm gradient clip applied before Adam. The
     reference's clip_grad_norm_ is print-only (`do=False`,
     misc_functions.py:48-69) so the parity default is None; the long-horizon
     recurrent configs (T=64 BPTT) occasionally emit large gradients that
     destabilize an otherwise-converged run, and `--clip-grad` bounds them."""
-    adam = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-    if lr_steps:
+    if schedule is None and lr_steps:
         schedule = optax.piecewise_constant_schedule(
             lr, {int(s): gamma for s in lr_steps})
-        adam = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    adam = optax.adam(schedule if schedule is not None else lr,
+                      b1=0.9, b2=0.999, eps=1e-8)
     tx = adam
     if clip_grad is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_grad), adam)

@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
                         metavar="LR", dest="lr")
     parser.add_argument("--lr_steps", default=[20, 40], type=float, nargs="+",
                         metavar="LRSteps")
+    # The reference defined a StepLR and never stepped it (mainclean.py:160);
+    # 'none' (constant lr) is therefore the parity default. The other kinds
+    # make --lr_steps/--warmup-epochs real (epoch units; train/steps.py
+    # build_lr_schedule).
+    parser.add_argument("--lr-schedule", default="none",
+                        choices=["none", "step", "cosine", "warmup_cosine"],
+                        help="learning-rate decay over the run (epoch units)")
+    parser.add_argument("--warmup-epochs", default=1.0, type=float,
+                        help="linear warmup span for warmup_cosine")
 
     parser.add_argument("-d", "--dimensions", default=32, type=int)
     parser.add_argument("-k", "--fb_kernel_size", default=7, type=int)

@@ -509,3 +509,79 @@ def test_sigterm_saves_rolling_checkpoint(tmp_path):
     assert os.path.exists(os.path.join(
         folder, "saved_models", "model_last_epoch_checkpoint.pth.tar"))
     assert os.path.exists(os.path.join(folder, "train.npz"))
+
+
+def test_build_lr_schedule_kinds():
+    """Schedule values at epoch boundaries: step decays by gamma at each
+    --lr_steps epoch, cosine ends near 0, warmup ramps from 0, and
+    start_step offsets a resumed run into the decayed region."""
+    from pathtracker_tpu.train.steps import build_lr_schedule
+
+    assert build_lr_schedule("none", 1e-3, 10, 100) is None
+
+    step = build_lr_schedule("step", 1e-3, 10, 100, lr_steps=[2, 5],
+                             gamma=0.1)
+    assert float(step(0)) == pytest.approx(1e-3)
+    assert float(step(20)) == pytest.approx(1e-4)   # after epoch 2
+    assert float(step(50)) == pytest.approx(1e-5)   # after epoch 5
+
+    cos = build_lr_schedule("cosine", 1e-3, 10, 100)
+    assert float(cos(0)) == pytest.approx(1e-3)
+    assert float(cos(1000)) == pytest.approx(0.0, abs=1e-9)
+
+    warm = build_lr_schedule("warmup_cosine", 1e-3, 10, 100,
+                             warmup_epochs=2.0)
+    assert float(warm(0)) == pytest.approx(0.0, abs=1e-12)
+    assert float(warm(20)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(warm(1000)) < 1e-6
+
+    resumed = build_lr_schedule("step", 1e-3, 10, 100, lr_steps=[2],
+                                gamma=0.1, start_step=30)
+    assert float(resumed(0)) == pytest.approx(1e-4)  # already past epoch 2
+
+    with pytest.raises(ValueError):
+        build_lr_schedule("exotic", 1e-3, 10, 100)
+
+
+def test_lr_schedule_changes_adam_update_size():
+    """A piecewise schedule passed to make_optimizer really drives the Adam
+    step size: for a constant gradient the bias-corrected update magnitude
+    equals the lr, so across a x0.1 boundary the deltas shrink x0.1."""
+    import jax.numpy as jnp
+    import optax
+
+    from pathtracker_tpu.train.steps import make_optimizer
+
+    sched = optax.piecewise_constant_schedule(1e-3, {1: 0.1})
+    tx = make_optimizer(1e-3, schedule=sched)
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+    state = tx.init(params)
+    u0, state = tx.update(grads, state, params)
+    u1, state = tx.update(grads, state, params)
+    d0 = float(jnp.abs(u0["w"]).mean())
+    d1 = float(jnp.abs(u1["w"]).mean())
+    assert d0 == pytest.approx(1e-3, rel=1e-3)
+    assert d1 == pytest.approx(1e-4, rel=1e-3)
+
+
+def test_lr_schedule_trains_e2e(tmp_path):
+    """--lr-schedule plumbs through the CLI into the jitted step and the
+    hp_dict snapshot records it."""
+    os.environ["PATHTRACKER_DATA_ROOT"] = str(tmp_path / "data")
+    os.environ["PATHTRACKER_SYNTH_TRAIN"] = "16"
+    os.environ["PATHTRACKER_SYNTH_TEST"] = "16"
+
+    from pathtracker_tpu.train.loop import main
+    from pathtracker_tpu.utils.opts import build_parser
+
+    args = build_parser().parse_args([
+        "--model", "InT", "--name", "sched_e2e", "--length", "8",
+        "--speed", "1", "--dist", "1", "-b", "4", "--lr", "1e-3",
+        "--epochs", "1", "-d", "4", "-k", "3", "--print-freq", "1",
+        "--lr-schedule", "warmup_cosine", "--warmup-epochs", "0.5",
+        "--results-dir", str(tmp_path / "results")])
+    main(args, max_steps_per_epoch=2)
+    res = tmp_path / "results" / "8_1_1" / "sched_e2e"
+    hp = np.load(res / "hp_dict.npz", allow_pickle=True)
+    assert str(hp["lr_schedule"]) == "warmup_cosine"
