@@ -364,6 +364,9 @@ def main(args=None, max_steps_per_epoch: int | None = None):
 
     vopt = opt_state
     stop = False
+    # Optimizer steps since this (re)start — indexes the lr schedule for the
+    # log line (the schedule itself already carries the resume offset).
+    opt_steps_done = 0.0
     trace_active = False
 
     # Graceful shutdown: runs here are routinely bounded by `timeout`
@@ -431,12 +434,18 @@ def main(args=None, max_steps_per_epoch: int | None = None):
             # batch_time keeps per-STEP semantics under fusion.
             meters["batch_time"].update((time.perf_counter() - end) / n_sub)
             end = time.perf_counter()
+            opt_steps_done += n_sub / accum
 
             if idx % args.print_freq == 0:
                 time_now = time.time()
                 pf = max(args.print_freq, 1)
+                # Under --lr-schedule the log line shows the lr actually
+                # applied at the most recent optimizer step (Adam's count
+                # was opt_steps_done-1 when it applied), not the base lr.
+                lr_now = (args.lr if schedule is None
+                          else float(schedule(max(0, int(opt_steps_done) - 1))))
                 line = (
-                    f"Epoch: [{epoch}][{idx}/{len_train_loader}]  lr: {args.lr:g}  "
+                    f"Epoch: [{epoch}][{idx}/{len_train_loader}]  lr: {lr_now:g}  "
                     f"Time: {meters['batch_time'].val:.3f} "
                     f"(itavg:{mean(meters['batch_time'].history[-pf:]):.3f}) "
                     f"({meters['batch_time'].avg:.3f})  "
