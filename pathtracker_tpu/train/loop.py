@@ -56,6 +56,17 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
         yield buf.popleft()
 
 
+def _opt_state_extra(opt_state) -> dict:
+    """Optimizer state as a checkpoint `extra` payload: flax state_dict
+    (plain nested dicts of host arrays — optax NamedTuples don't survive
+    msgpack directly). The rolling checkpoint carries it so --auto-resume
+    continues Adam moments/count and any EMA average exactly; best-val
+    checkpoints stay params-only (the downstream eval/export format)."""
+    from flax import serialization
+
+    return {"opt_state": serialization.to_state_dict(jax.device_get(opt_state))}
+
+
 def save_npz(log_dict: dict, results_folder: str, savename: str = "train") -> None:
     """train.npz / val.npz observability sinks (reference mainclean.py:101-104)."""
     with open(os.path.join(results_folder, savename + ".npz"), "wb") as f:
@@ -303,13 +314,16 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     ema_decay = getattr(args, "ema", None)
     if args.ckpt is not None:
         params = engine.load_ckpt(params, args.ckpt)
+    resume_opt_sd = None
     if getattr(args, "auto_resume", False):
         # Self-healing restarts for bounded runs (`timeout N mainclean.py`):
         # if this run dir already has the rolling last-epoch checkpoint
-        # (written every epoch and on SIGTERM), continue from it — params
-        # AND start epoch — so a relauncher needs no --ckpt/--start-epoch
-        # wiring. An explicit --ckpt still applies first (warm start), then
-        # any rolling state supersedes it.
+        # (written every epoch and on SIGTERM), continue from it — params,
+        # start epoch, AND optimizer state (Adam moments/count + EMA, saved
+        # in the checkpoint's `extra`) — so a relauncher needs no
+        # --ckpt/--start-epoch wiring and the trajectory continues exactly.
+        # An explicit --ckpt still applies first (warm start), then any
+        # rolling state supersedes it.
         rolling = os.path.join(results_folder, "saved_models",
                                "model_last_epoch_checkpoint.pth.tar")
         if os.path.exists(rolling):
@@ -320,25 +334,58 @@ def main(args=None, max_steps_per_epoch: int | None = None):
             resume_epoch = int(state.get("epoch", 0)) + 1
             if resume_epoch > args.start_epoch:
                 args.start_epoch = resume_epoch
+            resume_opt_sd = (state.get("extra") or {}).get("opt_state")
             print(f"auto-resume: rolling checkpoint found, continuing from "
                   f"epoch {args.start_epoch}")
-    # Optimizer after resume: an lr schedule is indexed by optimizer step
-    # (fresh Adam state counts from 0 on every (re)start, like the
-    # reference's restart flow), so offset it by the resumed epoch to
-    # continue the decay where the previous run stopped.
+    # Optimizer after resume: an lr schedule is indexed by Adam's step
+    # count. When the optimizer state is restored, that count continues and
+    # already indexes the schedule correctly; when it is fresh (reference
+    # --ckpt restart flow, or an old rolling checkpoint without opt state),
+    # offset the schedule by the resumed epoch so the decay continues where
+    # the previous run stopped.
     accum = max(1, getattr(args, "accum_steps", 1))
     opt_steps_per_epoch = max(1, (len_train_loader // args.batch_size) // accum)
-    schedule = build_lr_schedule(
-        getattr(args, "lr_schedule", "none"), args.lr, opt_steps_per_epoch,
-        args.epochs, lr_steps=args.lr_steps,
-        warmup_epochs=getattr(args, "warmup_epochs", 0.0),
-        start_step=args.start_epoch * opt_steps_per_epoch)
-    optimizer = make_optimizer(args.lr,
-                               clip_grad=getattr(args, "clip_grad", None),
-                               accum_steps=accum,
-                               ema=ema_decay,
-                               schedule=schedule)
+    resume_offset = args.start_epoch * opt_steps_per_epoch
+
+    def _make_opt(start_step: int):
+        sched = build_lr_schedule(
+            getattr(args, "lr_schedule", "none"), args.lr, opt_steps_per_epoch,
+            args.epochs, lr_steps=args.lr_steps,
+            warmup_epochs=getattr(args, "warmup_epochs", 0.0),
+            start_step=start_step)
+        return sched, make_optimizer(args.lr,
+                                     clip_grad=getattr(args, "clip_grad", None),
+                                     accum_steps=accum,
+                                     ema=ema_decay,
+                                     schedule=sched)
+
+    schedule, optimizer = _make_opt(0 if resume_opt_sd is not None
+                                    else resume_offset)
     opt_state = optimizer.init(params)
+    opt_restored = False
+    if resume_opt_sd is not None:
+        from flax import serialization as _ser
+
+        try:
+            restored = _ser.from_state_dict(opt_state, resume_opt_sd)
+            # Restored leaves are host numpy arrays; put each back with the
+            # sharding the freshly-initialized state had (replicated under
+            # --parallel) so the jitted step sees identical layouts.
+            opt_state = jax.tree.map(
+                lambda fresh, r: (jax.device_put(r, fresh.sharding)
+                                  if hasattr(fresh, "sharding") else r),
+                opt_state, restored)
+            opt_restored = True
+            print("auto-resume: optimizer state restored "
+                  "(Adam moments/count continue)")
+        except (ValueError, KeyError, TypeError) as e:
+            # Optimizer config changed between runs (different --clip-grad/
+            # --accum-steps/--ema flags reshape the state pytree): fall back
+            # to a fresh init with the epoch-offset schedule.
+            print(f"auto-resume: saved optimizer state incompatible with the "
+                  f"current flags ({e}); starting with fresh moments")
+            schedule, optimizer = _make_opt(resume_offset)
+            opt_state = optimizer.init(params)
 
     prep = {"disentangle_channels": disentangle_channels,
             "pretrained_norm": args.pretrained,
@@ -364,9 +411,11 @@ def main(args=None, max_steps_per_epoch: int | None = None):
 
     vopt = opt_state
     stop = False
-    # Optimizer steps since this (re)start — indexes the lr schedule for the
-    # log line (the schedule itself already carries the resume offset).
-    opt_steps_done = 0.0
+    # Optimizer steps for the log-line lr display. With restored optimizer
+    # state Adam's count continues from the previous run, so start the
+    # display counter there too; otherwise the schedule itself carries the
+    # resume offset and the counter starts at 0.
+    opt_steps_done = float(resume_offset) if opt_restored else 0.0
     trace_active = False
 
     # Graceful shutdown: runs here are routinely bounded by `timeout`
@@ -490,7 +539,8 @@ def main(args=None, max_steps_per_epoch: int | None = None):
                         exist_ok=True)
             last = os.path.join(results_folder, "saved_models",
                                 "model_last_epoch_checkpoint.pth.tar")
-            ckpt_lib.save_checkpoint(last, params, epoch=epoch)
+            ckpt_lib.save_checkpoint(last, params, epoch=epoch,
+                                     extra=_opt_state_extra(vopt))
             print(f"terminated: logs + rolling checkpoint saved mid-epoch "
                   f"{epoch}; resume with --ckpt {last} --start-epoch {epoch}",
                   flush=True)
@@ -532,7 +582,7 @@ def main(args=None, max_steps_per_epoch: int | None = None):
         ckpt_lib.save_checkpoint(
             os.path.join(results_folder, "saved_models",
                          "model_last_epoch_checkpoint.pth.tar"),
-            params, epoch=epoch)
+            params, epoch=epoch, extra=_opt_state_extra(vopt))
         ES(accv, eval_params, epoch)
         if ES.early_stop:
             print("Early stopping triggered. Quitting.")

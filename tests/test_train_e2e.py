@@ -585,3 +585,71 @@ def test_lr_schedule_trains_e2e(tmp_path):
     res = tmp_path / "results" / "8_1_1" / "sched_e2e"
     hp = np.load(res / "hp_dict.npz", allow_pickle=True)
     assert str(hp["lr_schedule"]) == "warmup_cosine"
+
+
+def test_rolling_checkpoint_carries_optimizer_state(tmp_path):
+    """The rolling last-epoch checkpoint roundtrips the optimizer state:
+    Adam moments/count (and EMA when present) restore exactly through the
+    msgpack extra payload."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from pathtracker_tpu.train import checkpoint as ckpt_lib
+    from pathtracker_tpu.train.loop import _opt_state_extra
+    from pathtracker_tpu.train.steps import make_optimizer
+
+    tx = make_optimizer(1e-3, ema=0.99)
+    params = {"w": jnp.arange(4.0), "b": jnp.ones((2,))}
+    state = tx.init(params)
+    for _ in range(3):
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, state = tx.update(grads, state, params)
+
+    path = str(tmp_path / "roll.pth.tar")
+    ckpt_lib.save_checkpoint(path, params, epoch=2,
+                             extra=_opt_state_extra(state))
+    loaded = ckpt_lib.load_checkpoint(path)
+    assert "opt_state" in loaded["extra"]
+    restored = serialization.from_state_dict(tx.init(params),
+                                             loaded["extra"]["opt_state"])
+    flat_a = jax.tree.leaves(state)
+    flat_b = jax.tree.leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # the Adam count really advanced and survived
+    counts = [np.asarray(l) for l in flat_b
+              if np.asarray(l).dtype == np.int32 and np.asarray(l).ndim == 0]
+    assert any(int(c) == 3 for c in counts)
+
+
+def test_auto_resume_restores_optimizer_state_e2e(tmp_path, capsys):
+    """A relaunched --auto-resume run restores Adam moments/count from the
+    rolling checkpoint (and falls back to fresh moments when the optimizer
+    flags changed shape)."""
+    os.environ["PATHTRACKER_DATA_ROOT"] = str(tmp_path / "data")
+    os.environ["PATHTRACKER_SYNTH_TRAIN"] = "16"
+    os.environ["PATHTRACKER_SYNTH_TEST"] = "16"
+
+    from pathtracker_tpu.train.loop import main
+    from pathtracker_tpu.utils.opts import build_parser
+
+    argv = ["--model", "InT", "--name", "optresume", "--length", "8",
+            "--speed", "1", "--dist", "1", "-b", "4", "--lr", "1e-3",
+            "-d", "4", "-k", "3", "--print-freq", "1", "--auto-resume",
+            "--results-dir", str(tmp_path / "results")]
+    main(build_parser().parse_args(argv + ["--epochs", "1"]),
+         max_steps_per_epoch=2)
+    capsys.readouterr()
+    main(build_parser().parse_args(argv + ["--epochs", "2"]),
+         max_steps_per_epoch=2)
+    out = capsys.readouterr().out
+    assert "optimizer state restored" in out
+
+    # Changed optimizer shape (--ema adds a wrapper state): graceful fresh
+    # init instead of a crash.
+    main(build_parser().parse_args(argv + ["--epochs", "3", "--ema", "0.9"]),
+         max_steps_per_epoch=2)
+    out = capsys.readouterr().out
+    assert "incompatible with the current flags" in out
