@@ -266,16 +266,22 @@ def write_tfrecord_file(path: str, payloads, compression: str = "GZIP") -> None:
             f.write(struct.pack("<I", masked_crc32c(payload)))
 
 
-def read_clip_records(path: str, timesteps: int, height: int = 32, width: int = 32):
+def read_clip_records(path: str, timesteps: int | None = None,
+                      height: int = 32, width: int = 32):
     """Yield (clip uint8 [T,H,W,3], label_byte int) pairs from one file.
 
     Mirrors the decode in reference utils/TFRDataset.py:6-28: the 'image'
     feature is raw uint8 reshaped to [T, 32, 32, 3]; 'label' stays a byte
     string (decoded with ord() downstream, reference utils/engine.py:224).
+    timesteps=None infers T from each record's height/width features and
+    payload length (the schema carries both, reference utils/TFRDataset.py:7-12).
     """
     for payload in read_tfrecord_file(path):
         feats = parse_example(payload)
         image = np.frombuffer(feats["image"][0], dtype=np.uint8)
-        clip = image.reshape(timesteps, height, width, 3)
+        h = int(feats["height"][0]) if feats.get("height") else height
+        w = int(feats["width"][0]) if feats.get("width") else width
+        t = timesteps if timesteps is not None else image.size // (h * w * 3)
+        clip = image.reshape(t, h, w, 3)
         label = feats["label"][0]
         yield clip, label[0] if len(label) else 0

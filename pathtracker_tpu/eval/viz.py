@@ -28,10 +28,26 @@ from pathtracker_tpu.utils.opts import parser
 
 
 def load_human_responses(set_name: str, n_clips: int,
-                         responses_dir: str = "mturk_responses") -> np.ndarray:
+                         responses_dir: str = "mturk_responses",
+                         shard_pattern: str | None = None,
+                         timesteps: int | None = None) -> np.ndarray:
+    """Per-clip averaged human responses for `set_name`.
+
+    Loads the reference's MTurk asset when present (reference
+    viz_model_att.py:148-152; the .npy ships nowhere public). Absent that,
+    synthesizes a PROXY by running the greedy nearest-neighbor tracker over
+    the same clips the viz loop will read (eval/greedy.py): the proxy's
+    "human accuracy" is then the documented algorithmic bar for the config
+    rather than noise, so the model-vs-human printout stays meaningful."""
     path = os.path.join(responses_dir, f"{set_name}_average_responses.npy")
     if os.path.exists(path):
         return np.load(path)
+    if shard_pattern is not None:
+        from pathtracker_tpu.eval.greedy import greedy_responses_for_shards
+
+        print(f"WARNING: {path} not found; using greedy-tracker proxy "
+              "responses computed on the evaluation clips.")
+        return greedy_responses_for_shards(shard_pattern, timesteps, n_clips)
     print(f"WARNING: {path} not found; synthesizing placeholder human responses.")
     rng = np.random.default_rng(0)
     return rng.uniform(0.05, 0.95, size=(n_clips,)).astype(np.float32)
@@ -52,7 +68,9 @@ def evaluate_model(args, results_folder: str, batch_size: int | None = None):
     model, variables = init_model(margs, timesteps)
     params = engine.load_ckpt(variables["params"], args.ckpt, strict=False)
 
-    human = load_human_responses(set_name, len_val)
+    human = load_human_responses(
+        set_name, len_val,
+        shard_pattern=os.path.join(pf_root, "test-*"), timesteps=timesteps)
     prep = {"pretrained_norm": getattr(args, "pretrained", False)}
 
     @jax.jit

@@ -277,26 +277,63 @@ def test_synthetic_task_is_learnable():
     import numpy as np
 
     from pathtracker_tpu.data.pathtracker import render_pathtracker_clip
+    from pathtracker_tpu.eval.greedy import greedy_accuracy_over_records
 
     def greedy_acc(n, timesteps, dist, seed=0):
         rng = np.random.default_rng(seed)
-        correct = 0
-        for _ in range(n):
-            clip, label = render_pathtracker_clip(
-                rng, timesteps=timesteps, n_distractors=dist)
-            pos = np.argwhere(clip[0, :, :, 2] > 0)[0].astype(float)
-            for t in range(timesteps):
-                dots = np.argwhere(clip[t, :, :, 0] > 0)
-                pos = dots[np.linalg.norm(dots - pos, axis=1).argmin()].astype(float)
-            end = np.argwhere(clip[-1, :, :, 2] > 0)[0]
-            correct += (int(np.linalg.norm(end - pos) <= 1.0) == label)
-        return correct / n
+        records = (render_pathtracker_clip(rng, timesteps=timesteps,
+                                           n_distractors=dist)
+                   for _ in range(n))
+        acc, seen = greedy_accuracy_over_records(records)
+        assert seen == n
+        return acc
 
     easy = greedy_acc(120, timesteps=16, dist=1)
     hard = greedy_acc(120, timesteps=64, dist=14)
     assert easy > 0.9, easy   # measured 0.97 at n=400
     assert hard > 0.5, hard   # measured 0.63 at n=400
     assert easy > hard
+
+
+def test_greedy_cli_and_response_proxy(tmp_path, capsys):
+    """eval/greedy.py: the CLI reproduces the BASELINE-style bar on real
+    shards (with T inferred from the records), and the human-proxy response
+    is confidence-shaped — high when the tracker lands on the end marker,
+    decaying with endpoint distance."""
+    import numpy as np
+
+    from pathtracker_tpu.data.pathtracker import (make_synthetic_dataset,
+                                                  render_pathtracker_clip)
+    from pathtracker_tpu.data.tfrecord import read_clip_records
+    from pathtracker_tpu.eval import greedy
+
+    root = make_synthetic_dataset(str(tmp_path), n_train=4, n_test=40,
+                                  timesteps=12, n_distractors=1, shards=2)
+
+    # timesteps inference from the schema's height/width features
+    import glob
+    clips = [c for p in sorted(glob.glob(root + "/test-*"))
+             for c, _ in read_clip_records(p)]
+    assert clips[0].shape == (12, 32, 32, 3)
+
+    import sys
+    from unittest import mock
+    with mock.patch.object(sys, "argv", [
+            "greedy", "--glob", root + "/test-*", "--n", "40"]):
+        greedy._main()
+    out = capsys.readouterr().out
+    acc = float(out.split()[3])
+    assert acc > 0.8  # dist=1/T=12 is easy for the greedy tracker
+
+    # response proxy: correct-positive clips read confident-high, and the
+    # proxy accuracy over a batch matches greedy_track's decisions
+    rng = np.random.default_rng(3)
+    resp = greedy.greedy_responses_for_shards(root + "/test-*", 12, 16)
+    assert resp.shape == (16,) and np.all((resp >= 0.05) & (resp <= 0.95))
+    clip, label = render_pathtracker_clip(rng, timesteps=8, n_distractors=0)
+    pred, dist = greedy.greedy_track(clip)
+    if label == 1:  # no distractors: tracker follows the only dot
+        assert pred == 1 and greedy.greedy_response(clip) == 0.95
 
 
 def test_load_resident_survives_shard_pooling(tmp_path):
