@@ -55,14 +55,27 @@ def _crc32c_py(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+_warned_slow_crc = False
+
+
 def crc32c(data: bytes) -> int:
     """CRC32C of `data` — native C++ when built (~1 GB/s; the per-record
     checksums dominate TFRecord *writing*, measured 97 ms/clip pure-Python),
-    table-driven Python fallback otherwise."""
+    table-driven Python fallback otherwise. The fallback warns ONCE on the
+    first large payload: a missing .so (fresh clone, wiped build dir) turns
+    a ~2-minute 20k-clip dataset write into ~20 minutes, and that must not
+    happen silently."""
     from pathtracker_tpu.data import native
 
     crc = native.crc32c(data)
-    return crc if crc is not None else _crc32c_py(data)
+    if crc is not None:
+        return crc
+    global _warned_slow_crc
+    if not _warned_slow_crc and len(data) > 4096:
+        _warned_slow_crc = True
+        print("WARNING: native CRC32C not available — TFRecord writes/verifies "
+              "run ~10x slower in pure Python. Build it with `make -C native`.")
+    return _crc32c_py(data)
 
 
 def masked_crc32c(data: bytes) -> int:

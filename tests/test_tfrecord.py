@@ -28,6 +28,24 @@ def test_crc32c_known_vectors():
     assert crc32c(b"\x00" * 32) == 0x8A9136AA
 
 
+def test_crc_fallback_warns_once(capsys, monkeypatch):
+    """A missing native library must not silently 10x the TFRecord write
+    time (it cost a full dataset-synthesis stall once): the pure-Python CRC
+    fallback prints ONE warning on the first large payload, and tiny header
+    CRCs never trigger it."""
+    from pathtracker_tpu.data import native, tfrecord
+
+    monkeypatch.setattr(native, "crc32c", lambda data: None)
+    monkeypatch.setattr(tfrecord, "_warned_slow_crc", False)
+    crc32c(b"tiny")
+    assert "native CRC32C" not in capsys.readouterr().out
+    crc32c(b"\x00" * 5000)
+    out = capsys.readouterr().out
+    assert "make -C native" in out
+    crc32c(b"\x00" * 5000)
+    assert "native CRC32C" not in capsys.readouterr().out  # once only
+
+
 def test_example_roundtrip():
     feats = {
         "label": b"\x01",
