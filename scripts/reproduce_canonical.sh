@@ -59,35 +59,52 @@ stage_done() { # a stage counts as done once it has any best-val checkpoint
     ls "$1"/saved_models/model_val_acc_*.tar >/dev/null 2>&1
 }
 
-A=results_conv/8_1_1/chainA
-B=results_conv/32_1_5/chainB
-C=results_conv/64_1_14/chainC
+# MODEL selects the registry name (default InT — the flagship); the chain
+# recipe (warm-start ladder, lr schedule per stage) is model-family generic
+# for the recurrent trackers. Run dirs carry the model in their name so
+# chains for different models coexist: chainA / hgru_chainA / ...
+MODEL="${MODEL:-InT}"
+PFX=""
+[ "$MODEL" != "InT" ] && PFX="${MODEL}_"
+
+# Size knobs so the chain can be smoke-tested cheaply (tiny dims compile in
+# seconds on the CPU backend; the production -b 128 + fused 12-step scan
+# takes ~30+ min to compile there because CPU fully unrolls recurrent scans).
+BATCH="${BATCH:-128}"
+SYNTH_TRAIN="${SYNTH_TRAIN:-20000}"
+SYNTH_TEST="${SYNTH_TEST:-2500}"
+FUSED_STEPS="${FUSED_STEPS:-12}"
+EXTRA_FLAGS="${EXTRA_FLAGS:-}"   # e.g. "-d 8 -k 3" for a tiny smoke
+
+A=results_conv/8_1_1/${PFX}chainA
+B=results_conv/32_1_5/${PFX}chainB
+C=results_conv/64_1_14/${PFX}chainC
 
 if ! stage_done "$A" || [ "${FORCE_A:-0}" = 1 ]; then
-    run_stage A mainclean.py --model InT --name chainA \
-        --length 8 --speed 1 --dist 1 -b 128 --lr 2e-3 \
-        --epochs "${EPOCHS_A:-60}" --bf16 --device-data --fused-steps 12 \
-        --synth-train 20000 --synth-test 2000 \
-        --results-dir results_conv --auto-resume || exit 1
+    run_stage ${PFX}A mainclean.py --model "$MODEL" --name ${PFX}chainA \
+        --length 8 --speed 1 --dist 1 -b "$BATCH" --lr 2e-3 \
+        --epochs "${EPOCHS_A:-60}" --bf16 --device-data --fused-steps "$FUSED_STEPS" \
+        --synth-train "$SYNTH_TRAIN" --synth-test "$SYNTH_TEST" \
+        --results-dir results_conv --auto-resume $EXTRA_FLAGS || exit 1
 fi
 
 if ! stage_done "$B" || [ "${FORCE_B:-0}" = 1 ]; then
-    run_stage B mainclean.py --model InT --name chainB \
-        --length 32 --speed 1 --dist 5 -b 128 --lr 3e-4 \
-        --epochs "${EPOCHS_B:-40}" --bf16 --device-data --fused-steps 12 \
-        --synth-train 20000 --synth-test 2500 \
-        --results-dir results_conv --auto-resume \
+    run_stage ${PFX}B mainclean.py --model "$MODEL" --name ${PFX}chainB \
+        --length 32 --speed 1 --dist 5 -b "$BATCH" --lr 3e-4 \
+        --epochs "${EPOCHS_B:-40}" --bf16 --device-data --fused-steps "$FUSED_STEPS" \
+        --synth-train "$SYNTH_TRAIN" --synth-test "$SYNTH_TEST" \
+        --results-dir results_conv --auto-resume $EXTRA_FLAGS \
         --ckpt "$(best_ckpt "$A")" || exit 1
 fi
 
-run_stage C mainclean.py --model InT --name chainC \
-    --length 64 --speed 1 --dist 14 -b 128 --lr 1e-4 \
-    --epochs "${EPOCHS_C:-400}" --bf16 --device-data --fused-steps 12 \
+run_stage ${PFX}C mainclean.py --model "$MODEL" --name ${PFX}chainC \
+    --length 64 --speed 1 --dist 14 -b "$BATCH" --lr 1e-4 \
+    --epochs "${EPOCHS_C:-400}" --bf16 --device-data --fused-steps "$FUSED_STEPS" \
     --ema "${EMA_C:-0.998}" \
-    --synth-train 20000 --synth-test 2500 \
-    --results-dir results_conv --auto-resume \
+    --synth-train "$SYNTH_TRAIN" --synth-test "$SYNTH_TEST" \
+    --results-dir results_conv --auto-resume $EXTRA_FLAGS \
     $(stage_done "$C" || echo --ckpt "$(best_ckpt "$B")") || exit 1
 
 echo "chain: done; evaluate with:"
-echo "  python test_model.py --model InT --name chainC --results-dir results_conv \\"
+echo "  python test_model.py --model $MODEL --name ${PFX}chainC --results-dir results_conv \\"
 echo "      --which_tests 64 -b 128 --bf16 --ckpt \"\$(best_ckpt $C)\""
