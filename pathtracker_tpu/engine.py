@@ -66,10 +66,11 @@ def model_selector(args, timesteps: int, device=None):
                 f"--algo {algo!r} is implemented for InT*; "
                 f"{args.model!r} trains with bptt")
         kwargs["grad_method"] = algo
-    if family(args.model) == "slowfast":
+    if family(args.model) == "slowfast" or args.model == "slow":
         # yaml is the SlowFast config surface (reference
         # models/cfgs/*.yaml via slowfast_utils.py:13-17); --slowfast_cfg
         # points at a modified cfg, else the in-repo default for the name.
+        # `slow` (single-pathway, TORCHVISION contract) shares the surface.
         kwargs["cfg_path"] = getattr(args, "slowfast_cfg", None)
     return _build(
         args.model,

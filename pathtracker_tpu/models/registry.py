@@ -23,6 +23,9 @@ MODEL_FAMILY = {
     "rntsm": "torchvision",
     "slowfast": "slowfast",
     "slowfast_nl": "slowfast",
+    # Single-pathway Slow net (reference models/cfgs/slow.yaml, unreachable
+    # there); plain-clip input, so the TORCHVISION forward contract.
+    "slow": "torchvision",
 }
 
 
@@ -141,6 +144,12 @@ def model_selector(model_name: str, timesteps: int, fb_kernel_size: int = 7,
         return tsm_resnet.resnet50_tsm(num_segments=8, flow_estimation=True, **kwargs)
     if model_name in ("slowfast", "slowfast_nl"):
         from pathtracker_tpu.models import slowfast
+        return slowfast.build(model_name, **kwargs)
+    if model_name == "slow":
+        from pathtracker_tpu.models import slowfast
+        # PathTracker head: 1 logit (overrides the yaml's Kinetics-400 head;
+        # kwargs merge over yaml, the reference's direction).
+        kwargs.setdefault("num_classes", 1)
         return slowfast.build(model_name, **kwargs)
     if model_name == "timesformer":
         from pathtracker_tpu.models import transformers

@@ -198,6 +198,59 @@ class SlowFast(nn.Module):
         return dense(feat, head_k, head_b)
 
 
+class SlowOnly(nn.Module):
+    """Single-pathway Slow network (reference models/cfgs/slow.yaml,
+    MODEL.ARCH: slow — shipped by the reference but unreachable there:
+    no model_selector name builds it, reference utils/engine.py:75-217).
+
+    The slow pathway of SlowFast without the fast path or lateral fusion:
+    (1,7,7) stem, R50 bottleneck stages with temporal kernels only in
+    res4/res5, optional non-local blocks per NONLOCAL.LOCATION, global
+    pool + dropout + linear head. Input contract is the TORCHVISION family
+    (plain BCTHW clip -> logits; reference utils/engine.py:43-46)."""
+
+    width: int = 64
+    stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    stage_strides: Sequence[int] = (1, 2, 2, 2)
+    num_classes: int = 1
+    dropout_rate: float = 0.5
+    nonlocal_slow: Sequence[Sequence[int]] = ((), (), (), ())
+    zero_init_final_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, testmode: bool = False):
+        x = bcthw_to_bthwc(x)
+        w = self.width
+        x = _ConvBN3d(x.shape[-1], w, (1, 7, 7), stride=(1, 2, 2),
+                      name="stem")(x)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 1, 3, 3, 1), (1, 1, 2, 2, 1),
+            [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+
+        inners = [w, w * 2, w * 4, w * 8]
+        temp_k = [1, 1, 3, 3]  # temporal convs only in res4/res5
+        for si, nblocks in enumerate(self.stage_blocks):
+            for bi in range(nblocks):
+                x = _Bottleneck(x.shape[-1], inners[si], temp_k[si],
+                                stride=self.stage_strides[si] if bi == 0 else 1,
+                                zero_final_bn=self.zero_init_final_bn,
+                                name=f"res{si + 2}_{bi}")(x)
+                if bi in self.nonlocal_slow[si]:
+                    x = _NonLocal(x.shape[-1], name=f"nl_res{si + 2}_{bi}")(x)
+
+        feat = jnp.mean(x, axis=(1, 2, 3))
+        if self.dropout_rate > 0 and self.has_rng("dropout"):
+            keep = 1.0 - self.dropout_rate
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                        feat.shape)
+            feat = jnp.where(mask, feat / keep, 0.0)
+        head_k = self.param("head_kernel", nn.initializers.normal(stddev=0.01),
+                            (feat.shape[-1], self.num_classes))
+        head_b = self.param("head_bias", nn.initializers.zeros,
+                            (self.num_classes,))
+        return dense(feat, head_k, head_b)
+
+
 def build(name: str, cfg_path: str | None = None, **kwargs):
     """Build a SlowFast variant from its yaml config.
 
@@ -214,4 +267,5 @@ def build(name: str, cfg_path: str | None = None, **kwargs):
         raise NotImplementedError(name)
     cfg_kwargs = load_slowfast_cfg(cfg_path or DEFAULT_CFGS[name])
     cfg_kwargs.update(kwargs)
-    return SlowFast(**cfg_kwargs)
+    arch = cfg_kwargs.pop("arch", "slowfast")
+    return SlowOnly(**cfg_kwargs) if arch == "slow" else SlowFast(**cfg_kwargs)

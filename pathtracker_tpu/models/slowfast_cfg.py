@@ -29,6 +29,10 @@ _CFG_DIR = os.path.join(os.path.dirname(__file__), "cfgs")
 DEFAULT_CFGS = {
     "slowfast": os.path.join(_CFG_DIR, "slowfast.yaml"),
     "slowfast_nl": os.path.join(_CFG_DIR, "slowfast_nl.yaml"),
+    # Slow-only pathway: the reference ships models/cfgs/slow.yaml but no
+    # model_selector name builds it (reference utils/engine.py:75-217);
+    # here `--model slow` does.
+    "slow": os.path.join(_CFG_DIR, "slow.yaml"),
 }
 
 
@@ -59,16 +63,26 @@ def load_slowfast_cfg(path: str) -> dict:
     def get(section: str, key: str, default):
         return (cfg.get(section) or {}).get(key, default)
 
+    arch = str(get("MODEL", "ARCH", "slowfast")).lower()
+    if arch not in ("slowfast", "slow"):
+        raise ValueError(f"MODEL.ARCH {arch!r} unsupported "
+                         f"('slowfast' or 'slow'): {path}")
+
     kwargs = {
-        "alpha": int(get("SLOWFAST", "ALPHA", 4)),
-        "beta_inv": int(get("SLOWFAST", "BETA_INV", 8)),
-        "fusion_ratio": int(get("SLOWFAST", "FUSION_CONV_CHANNEL_RATIO", 2)),
-        "fusion_kernel": int(get("SLOWFAST", "FUSION_KERNEL_SZ", 7)),
+        "arch": arch,
         "width": int(get("RESNET", "WIDTH_PER_GROUP", 64)),
         "num_classes": int(get("MODEL", "NUM_CLASSES", 1)),
         "dropout_rate": float(get("MODEL", "DROPOUT_RATE", 0.5)),
         "zero_init_final_bn": bool(get("RESNET", "ZERO_INIT_FINAL_BN", True)),
     }
+    if arch == "slowfast":
+        kwargs.update({
+            "alpha": int(get("SLOWFAST", "ALPHA", 4)),
+            "beta_inv": int(get("SLOWFAST", "BETA_INV", 8)),
+            "fusion_ratio": int(
+                get("SLOWFAST", "FUSION_CONV_CHANNEL_RATIO", 2)),
+            "fusion_kernel": int(get("SLOWFAST", "FUSION_KERNEL_SZ", 7)),
+        })
 
     depth = int(get("RESNET", "DEPTH", 50))
     if depth not in _DEPTH_BLOCKS:
@@ -88,16 +102,27 @@ def load_slowfast_cfg(path: str) -> dict:
 
     nl = get("NONLOCAL", "LOCATION", None)
     if nl is not None:
-        try:
-            slow_nl = [stage[0] for stage in nl]
-            fast_nl = [stage[1] for stage in nl]
-        except (TypeError, IndexError) as e:
-            raise ValueError(
-                "NONLOCAL.LOCATION must be a list of [slow_blocks, "
-                f"fast_blocks] pairs per stage (fvcore schema): {path}") from e
-        if any(fast_nl):
-            raise ValueError(
-                f"fast-pathway NONLOCAL.LOCATION is not supported: {path}")
+        if arch == "slow":
+            # Single-pathway schema: one block list per stage (reference
+            # models/cfgs/slow.yaml NONLOCAL.LOCATION: [[[]], [[1,3]], ...]).
+            try:
+                slow_nl = [stage[0] for stage in nl]
+            except (TypeError, IndexError) as e:
+                raise ValueError(
+                    "NONLOCAL.LOCATION must be a list of [blocks] entries "
+                    f"per stage (single-pathway fvcore schema): {path}") from e
+        else:
+            try:
+                slow_nl = [stage[0] for stage in nl]
+                fast_nl = [stage[1] for stage in nl]
+            except (TypeError, IndexError) as e:
+                raise ValueError(
+                    "NONLOCAL.LOCATION must be a list of [slow_blocks, "
+                    f"fast_blocks] pairs per stage (fvcore schema): "
+                    f"{path}") from e
+            if any(fast_nl):
+                raise ValueError(
+                    f"fast-pathway NONLOCAL.LOCATION is not supported: {path}")
         kwargs["nonlocal_slow"] = tuple(tuple(int(b) for b in stage)
                                         for stage in slow_nl)
 

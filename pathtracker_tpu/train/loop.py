@@ -248,6 +248,16 @@ def main(args=None, max_steps_per_epoch: int | None = None):
             data_dir=pf_root + "test-*", batch_size=per_proc_batch,
             drop_remainder=True, timesteps=args.length, seed=args.seed,
             shard_index=pidx, shard_count=nproc)
+        if nproc > 1:
+            # Make the input-sharding decision auditable per rank: with
+            # files >= processes each rank takes a disjoint file slice;
+            # with files < processes ranks share all files and stride
+            # records (data/pipeline.py::ClipDataset). Multi-host e2e
+            # tests assert on this line.
+            stride = getattr(train_loader, "_record_stride", None)
+            print(f"input shard: rank {pidx}/{nproc} "
+                  f"files={len(train_loader.files)} "
+                  f"record_stride={stride}")
 
     results_folder = results_folder_for(args)
     if jax.process_count() > 1 and jax.process_index() != 0:

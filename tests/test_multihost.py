@@ -158,3 +158,70 @@ def test_two_process_mainclean_cli(tmp_path):
     val0 = [ln for ln in outs[0].splitlines() if ln.startswith("val f")]
     val1 = [ln for ln in outs[1].splitlines() if ln.startswith("val f")]
     assert val0 and val0 == val1, (val0, val1)
+
+
+def test_four_process_cli_record_striding(tmp_path):
+    """4 ranks through the real CLI with FEWER FILES THAN PROCESSES: the
+    synthesizer writes 2 shards per split, so at NUM_PROCESSES=4 every rank
+    keeps all files and strides records (data/pipeline.py::ClipDataset,
+    files<processes path — unit-tested in test_tfrecord.py, exercised here
+    end-to-end). Asserts each rank logs its stride slot, only the
+    coordinator writes artifacts, and the replicated val metrics agree on
+    all four ranks (uneven per-rank record counts must not desync SPMD)."""
+    port = _free_port()
+    data_root = tmp_path / "data"
+    results = {r: tmp_path / f"results{r}" for r in range(4)}
+    procs = []
+    for rank in range(4):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": "",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "PYTHONPATH": REPO + (os.pathsep + env["PYTHONPATH"]
+                                  if env.get("PYTHONPATH") else ""),
+            "COORDINATOR_ADDRESS": f"localhost:{port}",
+            "NUM_PROCESSES": "4",
+            "PROCESS_ID": str(rank),
+            "PATHTRACKER_DATA_ROOT": str(data_root),
+            # 34 train records over 2 files: rank strides of 9/9/8/8
+            # records — deliberately uneven so the drop_remainder batch
+            # math is exercised where ranks disagree on raw record count.
+            "PATHTRACKER_SYNTH_TRAIN": "34",
+            "PATHTRACKER_SYNTH_TEST": "32",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "mainclean.py", "--model", "InT", "--name",
+             "mh4", "--length", "8", "--speed", "1", "--dist", "5",
+             "-b", "8", "-d", "8", "-k", "3", "--epochs", "1",
+             "--print-freq", "1", "--parallel",
+             "--results-dir", str(results[rank])],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=840)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"rank {rank} failed (rc={p.returncode}):\n{out}")
+    assert "device count: 8" in outs[0], outs[0]
+
+    # Every rank kept BOTH files and took its own record-stride slot —
+    # the files<processes path, not the file-slice path.
+    for rank, out in enumerate(outs):
+        lines = [ln for ln in out.splitlines() if ln.startswith("input shard:")]
+        assert lines == [
+            f"input shard: rank {rank}/4 files=2 "
+            f"record_stride=({rank}, 4)"], (rank, lines or out)
+
+    # Coordinator-only artifacts.
+    run0 = results[0] / "8_1_5" / "mh4"
+    assert (run0 / "train.npz").exists() and (run0 / "val.npz").exists()
+    for rank in (1, 2, 3):
+        assert not (results[rank] / "8_1_5" / "mh4" / "train.npz").exists()
+
+    # Identical replicated metrics across all four ranks.
+    vals = [[ln for ln in out.splitlines() if ln.startswith("val f")]
+            for out in outs]
+    assert vals[0] and all(v == vals[0] for v in vals[1:]), vals

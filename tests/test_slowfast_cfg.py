@@ -22,6 +22,7 @@ from pathtracker_tpu.models.slowfast_cfg import DEFAULT_CFGS, load_slowfast_cfg
 def test_default_cfgs_match_reference_values():
     cfg = load_slowfast_cfg(DEFAULT_CFGS["slowfast"])
     assert cfg == {
+        "arch": "slowfast",
         "alpha": 4, "beta_inv": 8, "fusion_ratio": 2, "fusion_kernel": 7,
         "width": 64, "num_classes": 1, "dropout_rate": 0.5,
         "zero_init_final_bn": True, "stage_blocks": (3, 4, 6, 3),
@@ -122,6 +123,51 @@ def test_cli_flag_reaches_builder(tmp_path):
 def test_default_cfg_files_exist():
     for path in DEFAULT_CFGS.values():
         assert os.path.exists(path), path
+
+
+def test_slow_cfg_parses_single_pathway_schema():
+    # Counterpart of reference models/cfgs/slow.yaml (unreachable there:
+    # no model_selector name builds it, reference utils/engine.py:75-217):
+    # MODEL.ARCH slow, single-pathway NONLOCAL schema, Kinetics-400 head.
+    cfg = load_slowfast_cfg(DEFAULT_CFGS["slow"])
+    assert cfg["arch"] == "slow"
+    assert cfg["num_classes"] == 400
+    assert cfg["stage_blocks"] == (3, 4, 6, 3)
+    assert cfg["nonlocal_slow"] == ((), (1, 3), (1, 3, 5), ())
+    assert "alpha" not in cfg and "fusion_kernel" not in cfg
+
+
+def test_slow_registry_builds_single_pathway_model():
+    from pathtracker_tpu.models.registry import family, model_selector
+    from pathtracker_tpu.models.slowfast import SlowOnly
+
+    m = model_selector("slow", timesteps=8)
+    assert isinstance(m, SlowOnly)
+    assert m.num_classes == 1  # registry overrides the yaml's 400 head
+    assert m.nonlocal_slow == ((), (1, 3), (1, 3, 5), ())
+    assert family("slow") == "torchvision"
+
+
+def test_slow_forward_contract(tmp_path):
+    # Narrow custom slow cfg forwards through the TORCHVISION family
+    # dispatch (plain clip in, logits out, no pathway split).
+    from pathtracker_tpu import engine
+    from pathtracker_tpu.models.slowfast import SlowOnly, build
+
+    p = tmp_path / "slow_tiny.yaml"
+    p.write_text(
+        "MODEL:\n  ARCH: slow\n  NUM_CLASSES: 1\n  DROPOUT_RATE: 0.0\n"
+        "RESNET:\n  WIDTH_PER_GROUP: 8\n"
+        "NONLOCAL:\n  LOCATION: [[[]], [[1]], [[]], [[]]]\n")
+    m = build("slow", cfg_path=str(p))
+    assert isinstance(m, SlowOnly)
+    assert m.nonlocal_slow == ((), (1,), (), ())
+    imgs = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (2, 3, 4, 32, 32)), jnp.float32)
+    params = m.init(jax.random.key(0), imgs)
+    out, jv = engine.model_step(m, params, imgs, "slow")
+    assert out.shape == (2, 1)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_structurally_malformed_cfgs_raise_valueerror(tmp_path):
