@@ -45,6 +45,8 @@ def test_two_process_train_step_matches_single_process():
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "PYTHONPATH": REPO + (os.pathsep + env["PYTHONPATH"]
                               if env.get("PYTHONPATH") else ""),
+        "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".cache", "jax"),
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "2",
     })
     script = os.path.join(REPO, "tests", "_multihost_rank.py")
     procs = [subprocess.Popen(
@@ -53,7 +55,7 @@ def test_two_process_train_step_matches_single_process():
         stderr=subprocess.STDOUT, text=True) for rank in (0, 1)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=840)
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank failed (rc={p.returncode}):\n{out}"
@@ -122,6 +124,8 @@ def test_two_process_mainclean_cli(tmp_path):
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
             "PYTHONPATH": REPO + (os.pathsep + env["PYTHONPATH"]
                                   if env.get("PYTHONPATH") else ""),
+            "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".cache", "jax"),
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "2",
             "COORDINATOR_ADDRESS": f"localhost:{port}",
             "NUM_PROCESSES": "2",
             "PROCESS_ID": str(rank),
@@ -139,7 +143,7 @@ def test_two_process_mainclean_cli(tmp_path):
             stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=840)
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank failed (rc={p.returncode}):\n{out}"
@@ -180,6 +184,8 @@ def test_four_process_cli_record_striding(tmp_path):
             "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
             "PYTHONPATH": REPO + (os.pathsep + env["PYTHONPATH"]
                                   if env.get("PYTHONPATH") else ""),
+            "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".cache", "jax"),
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "2",
             "COORDINATOR_ADDRESS": f"localhost:{port}",
             "NUM_PROCESSES": "4",
             "PROCESS_ID": str(rank),
@@ -200,7 +206,7 @@ def test_four_process_cli_record_striding(tmp_path):
             stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=840)
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
