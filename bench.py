@@ -316,7 +316,9 @@ def measure_model(model_name: str, batch: int, timesteps: int = 64,
 
     args = SimpleNamespace(model=model_name, bf16=bf16, seed=0,
                            dimensions=32, fb_kernel_size=7, pretrained=False,
-                           algo="bptt", penalty=False, slowfast_cfg=None)
+                           algo="bptt", penalty=False, slowfast_cfg=None,
+                           remat_blocks=bool(int(
+                               os.environ.get("BENCH_REMAT_BLOCKS", 0))))
     model, variables = init_model(args, timesteps)
     params = variables["params"]
     optimizer = make_optimizer(3e-4)

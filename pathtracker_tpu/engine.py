@@ -66,6 +66,15 @@ def model_selector(args, timesteps: int, device=None):
                 f"--algo {algo!r} is implemented for InT*; "
                 f"{args.model!r} trains with bptt")
         kwargs["grad_method"] = algo
+    if getattr(args, "remat_blocks", False):
+        # Per-residual-block rematerialization for the no-stride heavies
+        # whose backprop residuals exceed HBM at production T (rntsm needs
+        # 85G at batch 8/T=64 without it — results/tpu_experiments.md).
+        if args.model != "rntsm":
+            raise NotImplementedError(
+                f"--remat-blocks is wired for 'rntsm'; {args.model!r} fits "
+                "HBM without it (use --fused-steps remat for InT-family)")
+        kwargs["remat"] = True
     if family(args.model) == "slowfast" or args.model == "slow":
         # yaml is the SlowFast config surface (reference
         # models/cfgs/*.yaml via slowfast_utils.py:13-17); --slowfast_cfg

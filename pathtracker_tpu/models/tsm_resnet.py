@@ -171,6 +171,12 @@ class TSMResNet(nn.Module):
     num_classes: int = 1
     patch: int = 15
     block: str = "bottleneck"  # 'bottleneck' (r50/101) | 'basic' (r18/34)
+    # Per-block rematerialization: the no-stride trunk keeps full 32x32 maps
+    # through 1024/2048-wide stages, so backprop residuals dominate HBM
+    # (batch 8 x T=64 needs 85G without it). nn.remat stores only block
+    # inputs and recomputes intra-block activations during the backward —
+    # the standard TPU trade of MXU FLOPs for HBM.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, testmode: bool = False):
@@ -185,6 +191,8 @@ class TSMResNet(nn.Module):
         y = y.reshape(b, t, h, w, 64)
 
         block_cls = _TSMBottleneck if self.block == "bottleneck" else _TSMBasicBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls)
         widths = [64, 128, 256, 512]
         for si, nblocks in enumerate(self.layers):
             for bi in range(nblocks):

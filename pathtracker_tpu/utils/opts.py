@@ -116,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="write a jax.profiler trace of post-compile train"
                              " steps to DIR (view with tensorboard/xprof)")
+    parser.add_argument("--remat-blocks", default=False, action="store_true",
+                        dest="remat_blocks",
+                        help="rematerialize residual blocks (store block "
+                             "inputs only, recompute activations in the "
+                             "backward) — makes rntsm fit HBM at T=64")
     return parser
 
 

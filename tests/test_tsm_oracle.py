@@ -75,3 +75,32 @@ def test_tsm_bottleneck_matches_torch_oracle():
     with torch.no_grad():
         ref_flipped = _oracle(params, x, flip_shift=True)
     assert np.abs(out - ref_flipped).max() > 1e-3
+
+
+def test_remat_trunk_matches_plain_value_and_grad():
+    """remat=True must be numerically invisible: same logits, same grads —
+    it only changes WHAT the backward stores (block inputs vs every
+    activation). Tiny full trunk so the remat wrapping crosses the
+    MotionSqueeze insertion point after layer2."""
+    from pathtracker_tpu.models.tsm_resnet import TSMResNet
+
+    kw = dict(layers=(1, 1, 1, 1), patch=5, flow_estimation=True,
+              num_classes=1)
+    plain = TSMResNet(remat=False, **kw)
+    rem = TSMResNet(remat=True, **kw)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 3, 4, 8, 8)).astype(np.float32))
+    params = plain.init(jax.random.key(0), x)["params"]
+    # remat wrapping must not change the param tree (same names/shapes).
+    params_r = rem.init(jax.random.key(0), x)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_r)
+
+    def loss(model, p):
+        return jnp.sum(model.apply({"params": p}, x) ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(rem, p))(params)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
