@@ -47,6 +47,29 @@ def initialize(coordinator_address: str | None = None,
     _initialized = True
 
 
+def barrier(name: str, timeout_s: int = 600) -> None:
+    """Align all processes at a named coordination-service barrier.
+
+    XLA's CPU Gloo collectives hard-code a 30 s rendezvous window: the first
+    rank to reach a collective waits at most 30 s for every peer to join, and
+    data loading / cache-miss compiles can legitimately take longer than that
+    on a loaded host. The coordination service (already connected for
+    jax.distributed) has a *configurable* timeout, so parking every rank here
+    right before the first collective collapses the inter-rank skew to
+    milliseconds and the Gloo window stops being a race. No-op when
+    single-process.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def is_primary() -> bool:
     """True on the process that should write logs/checkpoints."""
     import jax

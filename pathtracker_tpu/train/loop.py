@@ -449,6 +449,16 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     except ValueError:  # not the main thread (e.g. driven from a test runner)
         prev_sigterm = None
 
+    # Multi-host: align every rank before the first collective. Dataset
+    # loading/synthesis skews ranks by far more than the 30 s rendezvous
+    # window XLA's Gloo CPU collectives allow (see parallel.distributed.
+    # barrier); on TPU pods the same alignment avoids burning the NCCL-style
+    # init window on stragglers.
+    if getattr(args, "parallel", False):
+        from pathtracker_tpu.parallel import distributed as _distributed
+
+        _distributed.barrier("pre-train-loop")
+
     for epoch in range(args.start_epoch, args.epochs):
         meters = {k: AverageMeter() for k in
                   ("batch_time", "data_time", "loss", "balacc", "precision",
@@ -603,6 +613,16 @@ def main(args=None, max_steps_per_epoch: int | None = None):
             signal.signal(signal.SIGTERM, prev_sigterm)
         except (ValueError, TypeError):
             pass
+    # Multi-host: align ranks before interpreter exit. The coordination
+    # service's atexit Shutdown barrier has a short fixed window, and
+    # end-of-run skew is unbounded (the coordinator writes checkpoints/npz
+    # after the last collective while other ranks head straight for exit;
+    # on oversubscribed hosts compile/e2e skew adds more). Parking everyone
+    # here (long, configurable window) makes the Shutdown barrier a no-op.
+    if getattr(args, "parallel", False):
+        from pathtracker_tpu.parallel import distributed as _distributed
+
+        _distributed.barrier("post-train-loop")
     return {"params": params, "results_folder": results_folder,
             "val_log": val_log_dict, "train_log": train_log_dict,
             "early_stopped": stop}
