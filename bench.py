@@ -362,6 +362,13 @@ def _yield_device(pidfile: str, wait_s: float = 120.0) -> None:
     signalled — never a pattern match, never this process."""
     import signal
 
+    # Settle after a successful yield: round 3 measured 660 clips/s (-3.2%)
+    # with the pre-flight SIGTERM landing seconds before timing, and a quiet
+    # chip measured 689 (+1.1%) at the same commit — the gap was contention /
+    # post-yield settle, not a code regression (results/tpu_experiments.md,
+    # round 4). Give the backend a beat after the trainer exits before the
+    # first timed dispatch.
+    settle_s = float(os.environ.get("BENCH_SETTLE_S", 10.0))
     try:
         pid = int(open(pidfile).read().strip())
     except (OSError, ValueError):
@@ -387,8 +394,10 @@ def _yield_device(pidfile: str, wait_s: float = 120.0) -> None:
             with open(f"/proc/{pid}/stat") as f:
                 state = f.read().rsplit(")", 1)[1].split()[0]
         except OSError:
+            time.sleep(settle_s)
             return  # exited
         if state == "Z":
+            time.sleep(settle_s)
             return  # exited, awaiting reap — the device is released
         time.sleep(1.0)
     print(f"bench: pid {pid} still alive after {wait_s:.0f}s — proceeding "
