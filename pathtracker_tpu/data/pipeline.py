@@ -75,8 +75,25 @@ class ClipDataset:
 
     def _iter_records(self):
         files = list(self.files)
-        if self.shuffle_buffer > 0:
+        if self.shuffle_buffer > 0 and self._record_stride is None:
+            # Striding mode keeps the canonical file order: the global record
+            # index must mean the same thing on every rank AND every epoch
+            # (stable slice membership — pinned in test_tfrecord). Shuffling
+            # still happens within shards and across shard remainders.
             self._rng.shuffle(files)
+        # Record striding (files < processes) is over the GLOBAL record index,
+        # continuous across file boundaries — a per-file index would hand the
+        # low ranks an extra record per file, and the final incomplete stride
+        # block is dropped on every rank, so all ranks yield exactly
+        # floor(N/cnt) records. Both matter for SPMD: one extra batch on one
+        # rank leaves it in a train-step collective while its peers enter
+        # eval — a live deadlock (tests/test_multihost.py, 4-rank CLI).
+        gi = 0
+        pending = None  # last matched record, held until its block completes
+        pending_block = -1
+        lo = cnt = None
+        if self._record_stride is not None:
+            lo, cnt = self._record_stride
         for path in files:
             if _native.available():
                 records = _native.read_clip_records(
@@ -86,11 +103,16 @@ class ClipDataset:
                     path, self.timesteps, self.height, self.width)
             if self._record_stride is None:
                 yield from records
-            else:
-                lo, n = self._record_stride
-                for i, item in enumerate(records):
-                    if i % n == lo:
-                        yield item
+                continue
+            for item in records:
+                if gi % cnt == lo:
+                    if pending is not None:
+                        yield pending
+                    pending = item
+                    pending_block = gi // cnt
+                gi += 1
+        if pending is not None and (pending_block + 1) * cnt <= gi:
+            yield pending  # its stride block is complete (N covers it)
 
     def _iter_shuffled(self):
         if self.shuffle_buffer <= 0:
@@ -117,7 +139,8 @@ class ClipDataset:
         shuffle(1000) window for the reference's shard sizes); batch
         remainders carry across shard boundaries and mix streams."""
         files = list(self.files)
-        if self.shuffle_buffer > 0:
+        if self.shuffle_buffer > 0 and self._record_stride is None:
+            # Canonical file order under striding — see _iter_records.
             self._rng.shuffle(files)
         rem_clips: list[np.ndarray] = []
         rem_labels: list[np.ndarray] = []
@@ -134,6 +157,10 @@ class ClipDataset:
 
         pool = ThreadPoolExecutor(max_workers=1)
         futures = [pool.submit(open_shard, files[0])]
+        # Striding is over the GLOBAL record index (continuous across
+        # shards), and the final incomplete stride block is dropped, so all
+        # ranks yield exactly floor(N/cnt) records — see _iter_records.
+        stride_base = 0
         try:
             for fi in range(len(files)):
                 if fi + 1 < len(files):
@@ -144,7 +171,14 @@ class ClipDataset:
                              else np.arange(n))
                     if self._record_stride is not None:
                         lo, cnt = self._record_stride
-                        order = order[order % cnt == lo]
+                        order = order[(order + stride_base) % cnt == lo]
+                        if fi == len(files) - 1:
+                            # N is known only at the last shard; cut records
+                            # from the incomplete final block.
+                            total = stride_base + n
+                            order = order[order + stride_base
+                                          < (total // cnt) * cnt]
+                        stride_base += n
                         n = len(order)
                     start = 0
                     if rem_clips:

@@ -63,11 +63,22 @@ def barrier(name: str, timeout_s: int = 600) -> None:
 
     if jax.process_count() <= 1:
         return
-    from jax._src import distributed as _dist
+    # The coordination-service client only has a private accessor today;
+    # tolerate it moving (jax version drift) by falling back to the public
+    # sync_global_devices, which rides the same service.
+    client = None
+    try:
+        from jax._src import distributed as _dist
 
-    client = _dist.global_state.client
+        client = _dist.global_state.client
+    except (ImportError, AttributeError):
+        pass
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+    else:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def is_primary() -> bool:

@@ -453,10 +453,35 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     # loading/synthesis skews ranks by far more than the 30 s rendezvous
     # window XLA's Gloo CPU collectives allow (see parallel.distributed.
     # barrier); on TPU pods the same alignment avoids burning the NCCL-style
-    # init window on stragglers.
+    # init window on stragglers. The barrier alone is not enough: the jit
+    # compile of the first train step happens AFTER it, and per-rank compile
+    # skew (persistent-cache hit on one rank, fresh compile on another) can
+    # exceed the 30 s window all over again — so every rank AOT-compiles the
+    # train/eval steps BEFORE the barrier. The post-barrier dispatch then
+    # recompiles through the (machine-keyed) persistent cache, a fast load
+    # with near-zero skew. docs/SCALING.md, tests/test_multihost.py.
     if getattr(args, "parallel", False):
         from pathtracker_tpu.parallel import distributed as _distributed
 
+        if jax.process_count() > 1:
+            from pathtracker_tpu.utils import cache as _cache
+
+            cache_dir = _cache.enable()
+            if not device_data:
+                gbatch = train_loader.batch_size * jax.process_count()
+                imgs_sds = jax.ShapeDtypeStruct(
+                    (gbatch, train_loader.timesteps, train_loader.height,
+                     train_loader.width, 3), np.uint8,
+                    sharding=mesh_lib.batch_sharding(mesh))
+                labels_sds = jax.ShapeDtypeStruct(
+                    (gbatch,), np.uint8,
+                    sharding=mesh_lib.batch_sharding(mesh))
+                t0 = time.perf_counter()
+                train_step.precompile(params, opt_state, imgs_sds, labels_sds)
+                eval_step.precompile(params, imgs_sds, labels_sds)
+                print(f"pre-barrier AOT compile done in "
+                      f"{time.perf_counter() - t0:.1f}s "
+                      f"(persistent cache: {cache_dir})")
         _distributed.barrier("pre-train-loop")
 
     for epoch in range(args.start_epoch, args.epochs):
@@ -622,7 +647,15 @@ def main(args=None, max_steps_per_epoch: int | None = None):
     if getattr(args, "parallel", False):
         from pathtracker_tpu.parallel import distributed as _distributed
 
-        _distributed.barrier("post-train-loop")
+        try:
+            _distributed.barrier("post-train-loop", timeout_s=120)
+        except Exception as e:  # noqa: BLE001 — any barrier failure
+            # A rank that died mid-loop (exception, hard kill) never reaches
+            # this barrier; don't make the survivors stall the full default
+            # window and surface a bare timeout — say what it means.
+            print(f"post-train-loop barrier failed ({e}); a peer rank "
+                  f"likely exited abnormally — shutting down anyway",
+                  flush=True)
     return {"params": params, "results_folder": results_folder,
             "val_log": val_log_dict, "train_log": train_log_dict,
             "early_stopped": stop}

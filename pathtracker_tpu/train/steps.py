@@ -185,6 +185,20 @@ def make_train_step(model, model_name: str, optimizer, penalty: bool = False,
         host = np.asarray(packed)  # single host fetch / sync point
         return params, opt_state, dict(zip(_KEYS, host))
 
+    def precompile(params, opt_state, imgs_sds, labels_sds):
+        """AOT lower+compile with abstract batch shapes — NO execution.
+
+        Multi-host bring-up calls this on every rank BEFORE the
+        pre-train-loop barrier: the expensive (possibly cache-missing)
+        compile happens while ranks are still allowed to be skewed, the
+        barrier then re-aligns them, and the first real step's compile is
+        a persistent-cache hit on every rank — so Gloo's hard-coded 30 s
+        first-collective window opens with millisecond skew instead of
+        compile-time skew (docs/SCALING.md; tests/test_multihost.py)."""
+        _step.lower(params, opt_state, imgs_sds, labels_sds,
+                    np.uint32(0)).compile()
+
+    train_step.precompile = precompile
     return train_step
 
 
@@ -209,4 +223,12 @@ def make_eval_step(model, model_name: str, prepare_kwargs: dict | None = None):
         stats["output"] = output  # stays on device unless the caller fetches
         return stats
 
+    def precompile(params, imgs_sds, labels_sds):
+        """AOT lower+compile (no execution) — see make_train_step.precompile.
+        Validation is the SECOND collective site per epoch; pre-compiling it
+        alongside the train step keeps end-of-epoch rank skew at fetch
+        latency, not compile latency."""
+        _step.lower(params, imgs_sds, labels_sds).compile()
+
+    eval_step.precompile = precompile
     return eval_step

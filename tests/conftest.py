@@ -27,11 +27,17 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite's wall clock is dominated by the
 # model-zoo compiles (~20 min cold); cached XLA executables make repeat runs
 # minutes instead. The 2s threshold keeps thousands of trivial jits out.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".cache", "jax")
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# Machine-keyed (utils/cache.py): XLA:CPU AOT-compiles to the build host's
+# ISA, and a .cache/jax that survived a VM migration onto different silicon
+# loads with SIGILL warnings — keying makes a migrated cache cold, not
+# poisoned (VERDICT r3 weak #5).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pathtracker_tpu.utils import cache as _cache_lib  # noqa: E402
+
+CACHE_DIR = _cache_lib.enable(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax"))
 
 import pytest  # noqa: E402
 

@@ -22,11 +22,19 @@ import re
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+from pathtracker_tpu.utils.cache import machine_keyed_dir  # noqa: E402
+
+# Machine-keyed cache (utils/cache.py): a stale cross-machine .cache/jax
+# gives some ranks instant hits while others compile fresh — the exact
+# compile skew these tests exist to catch.
+CACHE_DIR = machine_keyed_dir(os.path.join(REPO, ".cache", "jax"))
 _OUT_RE = re.compile(r"RANK(\d) LOSS ([\d.eE+-]+) FP ([\d.eE+-]+)")
 
 
@@ -36,7 +44,43 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_step_matches_single_process():
+def _run_ranks(launches, out_dir, timeout=1500):
+    """Spawn one process per (cmd, env), stdout+stderr to FILES, not pipes.
+
+    PIPE + sequential communicate() deadlocks multi-rank SPMD runs: the
+    un-drained ranks block on write once XLA's (multi-KB) log lines overflow
+    the 64 KB pipe buffer, which stalls their collectives, which stalls the
+    rank being drained — measured live as the round-4 "4-rank test hangs
+    25 min in futex" incident. Files never block writers, survive the test
+    process dying, and leave per-rank logs for post-mortem. Any rank still
+    alive after `timeout` (or after a sibling fails) is killed so no orphan
+    keeps the coordination port."""
+    procs, paths = [], []
+    for i, (cmd, env) in enumerate(launches):
+        path = os.path.join(str(out_dir), f"rank{i}.out")
+        paths.append(path)
+        with open(path, "w") as f:
+            procs.append(subprocess.Popen(
+                cmd, env=env, cwd=REPO, stdout=f,
+                stderr=subprocess.STDOUT, text=True))
+    try:
+        deadline = time.time() + timeout
+        for p in procs:
+            p.wait(timeout=max(1.0, deadline - time.time()))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            p.wait()
+    outs = []
+    for path in paths:
+        with open(path) as f:
+            outs.append(f.read())
+    return procs, outs
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.update({
@@ -45,18 +89,13 @@ def test_two_process_train_step_matches_single_process():
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "PYTHONPATH": REPO + (os.pathsep + env["PYTHONPATH"]
                               if env.get("PYTHONPATH") else ""),
-        "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".cache", "jax"),
+        "JAX_COMPILATION_CACHE_DIR": CACHE_DIR,
         "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "2",
     })
     script = os.path.join(REPO, "tests", "_multihost_rank.py")
-    procs = [subprocess.Popen(
-        [sys.executable, script, str(rank), str(port)],
-        env=env, cwd=REPO, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for rank in (0, 1)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1500)
-        outs.append(out)
+    procs, outs = _run_ranks(
+        [([sys.executable, script, str(rank), str(port)], env)
+         for rank in (0, 1)], tmp_path)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank failed (rc={p.returncode}):\n{out}"
 
@@ -124,7 +163,7 @@ def test_two_process_mainclean_cli(tmp_path):
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
             "PYTHONPATH": REPO + (os.pathsep + env["PYTHONPATH"]
                                   if env.get("PYTHONPATH") else ""),
-            "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".cache", "jax"),
+            "JAX_COMPILATION_CACHE_DIR": CACHE_DIR,
             "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "2",
             "COORDINATOR_ADDRESS": f"localhost:{port}",
             "NUM_PROCESSES": "2",
@@ -133,18 +172,13 @@ def test_two_process_mainclean_cli(tmp_path):
             "PATHTRACKER_SYNTH_TRAIN": "32",
             "PATHTRACKER_SYNTH_TEST": "32",
         })
-        procs.append(subprocess.Popen(
+        procs.append((
             [sys.executable, "mainclean.py", "--model", "InT", "--name",
              "mh", "--length", "8", "--speed", "1", "--dist", "5",
              "-b", "8", "-d", "8", "-k", "3", "--epochs", "1",
              "--print-freq", "1", "--parallel",
-             "--results-dir", str(results[rank])],
-            env=env, cwd=REPO, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1500)
-        outs.append(out)
+             "--results-dir", str(results[rank])], env))
+    procs, outs = _run_ranks(procs, tmp_path)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank failed (rc={p.returncode}):\n{out}"
     assert "device count: 8" in outs[0], outs[0]
@@ -184,33 +218,31 @@ def test_four_process_cli_record_striding(tmp_path):
             "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
             "PYTHONPATH": REPO + (os.pathsep + env["PYTHONPATH"]
                                   if env.get("PYTHONPATH") else ""),
-            "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".cache", "jax"),
+            "JAX_COMPILATION_CACHE_DIR": CACHE_DIR,
             "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "2",
             "COORDINATOR_ADDRESS": f"localhost:{port}",
             "NUM_PROCESSES": "4",
             "PROCESS_ID": str(rank),
             "PATHTRACKER_DATA_ROOT": str(data_root),
-            # 34 train records over 2 files: rank strides of 9/9/8/8
-            # records — deliberately uneven so the drop_remainder batch
-            # math is exercised where ranks disagree on raw record count.
+            # 34 train records over 2 files: the global-index stride
+            # equalizes ranks at floor(34/4)=8 records each (the incomplete
+            # final stride block is dropped) — 34 is deliberately not a
+            # multiple of 4 so that equalization is exercised; a naive
+            # per-file stride would hand rank 0 ten records and desync the
+            # train-step collective count across ranks.
             "PATHTRACKER_SYNTH_TRAIN": "34",
             "PATHTRACKER_SYNTH_TEST": "32",
         })
-        procs.append(subprocess.Popen(
+        procs.append((
             [sys.executable, "mainclean.py", "--model", "InT", "--name",
              "mh4", "--length", "8", "--speed", "1", "--dist", "5",
              "-b", "8", "-d", "8", "-k", "3", "--epochs", "1",
              "--print-freq", "1", "--parallel",
-             "--results-dir", str(results[rank])],
-            env=env, cwd=REPO, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1500)
-        outs.append(out)
+             "--results-dir", str(results[rank])], env))
+    procs, outs = _run_ranks(procs, tmp_path)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
-            f"rank {rank} failed (rc={p.returncode}):\n{out}")
+            f"rank {rank} failed (rc={p.returncode}):\n{out[-4000:]}")
     assert "device count: 8" in outs[0], outs[0]
 
     # Every rank kept BOTH files and took its own record-stride slot —
