@@ -49,7 +49,7 @@ def evaluate_model(results_folder, args, prep_gifs=3, dist=14, speed=1, length=6
 
     recurrent = engine.family(args.model) == "recurrent"
     prep = {"pretrained_norm": getattr(args, "pretrained", False),
-            "coord_channels": "_cc" in args.model and args.model != "nostride_video_cc_small"}
+            "coord_channels": engine.needs_coord_channels(args.model)}
 
     @jax.jit
     def test_step(p, raw_imgs, raw_labels):

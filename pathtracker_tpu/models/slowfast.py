@@ -268,4 +268,13 @@ def build(name: str, cfg_path: str | None = None, **kwargs):
     cfg_kwargs = load_slowfast_cfg(cfg_path or DEFAULT_CFGS[name])
     cfg_kwargs.update(kwargs)
     arch = cfg_kwargs.pop("arch", "slowfast")
+    # The input contract is dispatched from the model NAME (engine.model_step
+    # feeds `slow` one BCTHW array and `slowfast*` a [slow, fast] pair), so a
+    # cfg whose MODEL.ARCH contradicts the name would build a model that
+    # silently unpacks the wrong axis instead of erroring — reject it here.
+    if (name == "slow") != (arch == "slow"):
+        raise ValueError(
+            f"--model {name} with a cfg whose MODEL.ARCH is '{arch}' "
+            f"({cfg_path or DEFAULT_CFGS[name]}): the name picks the input "
+            f"contract, the cfg must agree (slow <-> slow)")
     return SlowOnly(**cfg_kwargs) if arch == "slow" else SlowFast(**cfg_kwargs)

@@ -123,8 +123,17 @@ def load_slowfast_cfg(path: str) -> dict:
             if any(fast_nl):
                 raise ValueError(
                     f"fast-pathway NONLOCAL.LOCATION is not supported: {path}")
-        kwargs["nonlocal_slow"] = tuple(tuple(int(b) for b in stage)
-                                        for stage in slow_nl)
+        try:
+            # A flat per-stage list (e.g. LOCATION: [[1,3],[],[],[]]) makes
+            # stage[0] above an int, which only surfaces here — keep the
+            # error a schema ValueError naming the file, not a bare
+            # TypeError from the int being non-iterable.
+            kwargs["nonlocal_slow"] = tuple(tuple(int(b) for b in stage)
+                                            for stage in slow_nl)
+        except TypeError as e:
+            raise ValueError(
+                "NONLOCAL.LOCATION stages must be block LISTS per pathway "
+                f"(fvcore schema, e.g. [[[1,3]], [[]], ...]): {path}") from e
 
     n_stages = len(kwargs["stage_blocks"])
     for key in ("stage_strides", "nonlocal_slow"):

@@ -5,13 +5,20 @@ utils/engine.py:31-40): one trained checkpoint evaluated across all 8
 (dist, speed, length) configs. `eval_best_model` does this with its own
 checkpoint pick; this driver pins an explicit checkpoint (reproducibility:
 the matrix must be attributable to one committed .tar) and orders configs
-so all T=64 shapes share one compile.
+so all T=64 shapes share one compile — each evaluate_model call builds a
+fresh jit, so the sharing happens through the persistent compilation cache,
+which this script therefore enables itself (machine-keyed, utils/cache.py)
+rather than assuming the caller exported JAX_COMPILATION_CACHE_DIR.
 
 Usage: python scripts/eval_matrix.py <ckpt> [results_folder] [model]
 """
 
 import sys
 from types import SimpleNamespace
+
+from pathtracker_tpu.utils import cache as _cache
+
+_cache.enable()
 
 from pathtracker_tpu.data.registry import ALL_DATASETS
 from pathtracker_tpu.eval.test_model import evaluate_model
