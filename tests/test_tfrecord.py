@@ -383,3 +383,56 @@ def test_load_resident_survives_shard_pooling(tmp_path):
             disk_labels.append(l)
     np.testing.assert_array_equal(labels, np.asarray(disk_labels, np.uint8))
     np.testing.assert_array_equal(clips, np.stack(disk_clips))
+
+
+def test_record_striding_equalizes_rank_counts(tmp_path):
+    """SPMD alignment contract (round-4 multihost deadlock regression):
+    with files < processes, every rank must yield EXACTLY floor(N/cnt)
+    records — global-index striding continuous across file boundaries,
+    incomplete final stride block dropped. A per-file stride index hands
+    low ranks an extra record per file; one extra batch on one rank leaves
+    it in a train-step collective while its peers enter eval."""
+    root = str(tmp_path / "ds")
+    # 18 records over 2 files (9+9), 4 ranks: naive per-file striding gives
+    # ranks (0,1) 3+3=6 and ranks (2,3) 2+2=4; the contract is 4/4/4/4
+    # (floor(18/4), the 2-record tail block dropped everywhere).
+    make_synthetic_dataset(root, n_train=18, n_test=4, timesteps=4, shards=2)
+    pattern = os.path.join(root, "train-*")
+
+    def records_of(loader):
+        out = []
+        for imgs, labels in loader:
+            for i in range(imgs.shape[0]):
+                out.append(imgs[i].tobytes())
+        return out
+
+    parts = [records_of(tfr_data_loader(
+        pattern, batch_size=1, timesteps=4, shuffle_buffer=0,
+        shard_index=r, shard_count=4)) for r in range(4)]
+    assert [len(p) for p in parts] == [4, 4, 4, 4], [len(p) for p in parts]
+    sets = [set(p) for p in parts]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert sets[i].isdisjoint(sets[j])
+    # Union = the first 16 records (complete blocks); 2 dropped.
+    assert len(set().union(*sets)) == 16
+
+    # Shuffled epochs: membership is stable, counts stay equal.
+    ld = tfr_data_loader(pattern, batch_size=1, timesteps=4,
+                         shuffle_buffer=50, seed=7,
+                         shard_index=0, shard_count=4)
+    e1, e2 = records_of(ld), records_of(ld)
+    assert sorted(e1) == sorted(e2)
+    assert set(e1) == sets[0]
+
+    # The pure-python fallback (_iter_records) must implement the identical
+    # contract — same counts, same membership as the native fast path.
+    from unittest import mock
+
+    from pathtracker_tpu.data import native as _native_mod
+
+    with mock.patch.object(_native_mod, "available", lambda: False):
+        pure = [records_of(tfr_data_loader(
+            pattern, batch_size=1, timesteps=4, shuffle_buffer=0,
+            shard_index=r, shard_count=4)) for r in range(4)]
+    assert [set(p) for p in pure] == sets
