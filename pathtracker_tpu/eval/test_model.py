@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from types import SimpleNamespace
 
 import jax
@@ -26,6 +27,62 @@ from pathtracker_tpu.train import checkpoint as ckpt_lib
 from pathtracker_tpu.train.loop import init_model
 from pathtracker_tpu.utils.metrics import bce_with_logits
 from pathtracker_tpu.utils.opts import parser
+
+
+# Backend status-code classes that mark a TRANSIENT failure of the tunneled
+# TPU client (stalls, pool-grant races) rather than a bug in the eval itself.
+# Round-4 postmortem: five 2-minute evals died on FAILED_PRECONDITION-class
+# errors and only got a second chance when a round-long queue script reached
+# its retry stage — the eval entry point itself should retry once.
+_TRANSIENT_MARKERS = ("FAILED_PRECONDITION", "DEADLINE_EXCEEDED",
+                      "UNAVAILABLE", "ABORTED", "RESOURCE_EXHAUSTED: Attempting")
+
+
+def _is_transient_backend_error(e: Exception) -> bool:
+    msg = f"{type(e).__name__}: {e}"
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def _prune_empty_results_dir(results_folder: str) -> None:
+    """Never leave an empty results/<name>/ behind on a failed eval — an
+    empty dir reads as 'eval ran, produced nothing' in the artifact tree."""
+    try:
+        if os.path.isdir(results_folder) and not os.listdir(results_folder):
+            os.rmdir(results_folder)
+    except OSError:
+        pass
+
+
+def evaluate_model_with_retry(results_folder, args, prep_gifs=3, dist=14,
+                              speed=1, length=64, retries=1,
+                              backoff_s=None, _eval_fn=None):
+    """`evaluate_model` with one self-retry on transient backend errors.
+
+    The tunneled single-client TPU intermittently surfaces
+    FAILED_PRECONDITION/stall-class errors that clear within a minute or two;
+    the retry sleeps `backoff_s` (env PATHTRACKER_EVAL_RETRY_BACKOFF_S,
+    default 90) and re-runs the config in-process — the process already holds
+    the single TPU client, so probing from a subprocess would contend with
+    ourselves. Non-transient errors propagate immediately; a failed final
+    attempt removes an empty results dir before re-raising.
+    """
+    if backoff_s is None:
+        backoff_s = float(os.environ.get("PATHTRACKER_EVAL_RETRY_BACKOFF_S", 90))
+    fn = _eval_fn or evaluate_model
+    attempt = 0
+    while True:
+        try:
+            return fn(results_folder, args, prep_gifs=prep_gifs, dist=dist,
+                      speed=speed, length=length)
+        except Exception as e:  # noqa: BLE001 — classified below
+            if not _is_transient_backend_error(e) or attempt >= retries:
+                _prune_empty_results_dir(results_folder)
+                raise
+            attempt += 1
+            print(f"eval: transient backend error "
+                  f"({type(e).__name__}: {str(e)[:200]}); retry "
+                  f"{attempt}/{retries} after {backoff_s:.0f}s backoff")
+            time.sleep(backoff_s)
 
 
 def evaluate_model(results_folder, args, prep_gifs=3, dist=14, speed=1, length=64):
@@ -103,7 +160,7 @@ def eval_best_model(directory, model, prep_gifs=3, batch_size=100,
         if which_tests is not None and str(d["length"]) != str(which_tests):
             continue
         key = (d["dist"], d["speed"], d["length"])
-        results[key] = evaluate_model(
+        results[key] = evaluate_model_with_retry(
             results_folder or directory, args, prep_gifs=prep_gifs,
             dist=d["dist"], speed=d["speed"], length=d["length"])
     return results
@@ -127,10 +184,11 @@ def main(args=None):
                 f"no val.npz under any of {candidates}; pass --ckpt explicitly")
         return eval_best_model(directory=directory, model=args.model,
                                which_tests=args.which_tests)
-    return evaluate_model(results_folder=results_folder, args=args,
-                          dist=args.dist if args.dist is not None else 14,
-                          speed=args.speed if args.speed is not None else 1,
-                          length=args.length if args.length is not None else 64)
+    return evaluate_model_with_retry(
+        results_folder=results_folder, args=args,
+        dist=args.dist if args.dist is not None else 14,
+        speed=args.speed if args.speed is not None else 1,
+        length=args.length if args.length is not None else 64)
 
 
 if __name__ == "__main__":

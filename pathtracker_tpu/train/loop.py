@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import time
+import zipfile
 from statistics import mean
 
 import jax
@@ -71,6 +72,27 @@ def save_npz(log_dict: dict, results_folder: str, savename: str = "train") -> No
     """train.npz / val.npz observability sinks (reference mainclean.py:101-104)."""
     with open(os.path.join(results_folder, savename + ".npz"), "wb") as f:
         np.savez(f, **{k: np.asarray(v) for k, v in log_dict.items()})
+
+
+def _load_npz_logs(log_dict: dict, results_folder: str, savename: str,
+                   max_entries: int | None = None) -> None:
+    """Preload a previous run's train/val npz into the in-memory log dict
+    (auto-resume path) so sliced campaigns accumulate one continuous curve
+    instead of overwriting with the latest slice only."""
+    path = os.path.join(results_folder, savename + ".npz")
+    if not os.path.exists(path):
+        return
+    try:
+        with np.load(path) as prior:
+            for k in log_dict:
+                if k in prior.files:
+                    vals = prior[k].tolist()
+                    if max_entries is not None:
+                        vals = vals[:max_entries]
+                    log_dict[k].extend(vals)
+    except (OSError, ValueError, zipfile.BadZipFile) as e:
+        print(f"auto-resume: could not preload {savename}.npz ({e}); "
+              f"curves restart from this slice")
 
 
 def results_folder_for(args) -> str:
@@ -418,6 +440,17 @@ def main(args=None, max_steps_per_epoch: int | None = None):
                     "f1score": []}
     train_log_dict = {"loss": [], "balacc": [], "precision": [], "recall": [],
                       "f1score": [], "jvpen": [], "scaled_loss": []}
+    if args.start_epoch > 0 and getattr(args, "auto_resume", False):
+        # Sliced campaigns relaunch with --auto-resume and a growing --epochs
+        # budget; save_npz overwrites, so without preloading, each slice's
+        # npz holds only its own epochs and any driver that reads
+        # len(val.npz) to measure progress stalls forever (round-4 advisor
+        # finding). Preload the previous run's logs so the curves stay
+        # cumulative across slices; val entries are truncated to one per
+        # completed epoch so epoch indexing stays exact.
+        _load_npz_logs(train_log_dict, results_folder, "train")
+        _load_npz_logs(val_log_dict, results_folder, "val",
+                       max_entries=args.start_epoch)
 
     vopt = opt_state
     stop = False

@@ -21,7 +21,7 @@ from pathtracker_tpu.utils import cache as _cache
 _cache.enable()
 
 from pathtracker_tpu.data.registry import ALL_DATASETS
-from pathtracker_tpu.eval.test_model import evaluate_model
+from pathtracker_tpu.eval.test_model import evaluate_model_with_retry
 
 
 def main():
@@ -41,7 +41,7 @@ def main():
         key = (d["dist"], d["speed"], d["length"])
         print(f"=== config dist={key[0]} speed={key[1]} length={key[2]} ===",
               flush=True)
-        results[key] = evaluate_model(
+        results[key] = evaluate_model_with_retry(
             results_folder, args, prep_gifs=0,
             dist=d["dist"], speed=d["speed"], length=d["length"])
         print(f"=== done {key}: acc={results[key][0]:.4f} "

@@ -441,6 +441,16 @@ def test_auto_resume_continues_from_rolling_checkpoint(tmp_path):
          max_steps_per_epoch=2)
     txt1 = (res / "ar.txt").read_text()
     assert "Epoch: [1]" in txt1
+    # Sliced campaigns must leave ONE cumulative curve: the relaunch
+    # preloads the previous slice's npz before appending, so val.npz holds
+    # one entry per completed epoch across both launches (round-4 advisor
+    # finding: overwriting with the latest slice stalls any driver that
+    # reads len(val.npz) as campaign progress).
+    val = np.load(res / "val.npz")
+    assert len(val["balacc"]) == 2, val["balacc"]
+    train = np.load(res / "train.npz")
+    # 2 capped steps per epoch x 2 epochs, preserved across the relaunch.
+    assert len(train["loss"]) == 4, train["loss"]
 
 
 def test_max_steps_counts_optimizer_steps_under_fusion(tmp_path):
