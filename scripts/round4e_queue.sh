@@ -83,10 +83,21 @@ CHAIND_BEST="$D/saved_models/model_val_acc_0068_epoch_03_checkpoint.pth.tar"
 if [ ! -e /tmp/r4_roots_done ]; then
     (
         # Wait until stage 1 is past its own synthesis (chip busy, host idle)
+        seen=0
         for i in $(seq 1 240); do
-            grep -q "Loading finished" "$LOGDIR/s4cold.log" 2>/dev/null && break
+            grep -q "Loading finished" "$LOGDIR/s4cold.log" 2>/dev/null \
+                && { seen=1; break; }
             sleep 5
         done
+        if [ "$seen" = 0 ]; then
+            # Never fall through: stage 1's own host-side synthesis may still
+            # be running, and two CPU-heavy jobs on this single-core VM
+            # serialize each other (both then look hung). No marker => no
+            # resynthesis; stage 5 reports the missing r4_roots_done.
+            echo "roots: stage-1 'Loading finished' never appeared — NOT" \
+                 "starting CPU resynthesis" >"$LOGDIR/roots.log"
+            exit 1
+        fi
         PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu nice -n 10 python -c "
 from pathtracker_tpu.data.registry import dataset_selector
 dataset_selector(dist=14, speed=1, length=64)
@@ -113,40 +124,57 @@ fi
 
 # --- stage 2: held-out eval of every s4cold checkpoint + real greedy bar ---
 if [ ! -e /tmp/r4_evalS4C_done ] && [ -e /tmp/r4_s4cold_done ]; then
+    all_ok=1
     for ck in "$SC"/saved_models/model_val_acc_*.tar; do
         [ -e "$ck" ] || continue
         tag=$(basename "$ck" | sed 's/model_val_acc_//;s/_checkpoint.pth.tar//')
         run_stage "eval_s4cold_$tag" python test_model.py --model InT \
             --name "s4cold_eval_$tag" --dist 1 --speed 4 --length 32 \
-            -b 128 --bf16 --ckpt "$ck"
+            -b 128 --bf16 --ckpt "$ck" || all_ok=0
     done
-    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pathtracker_tpu.eval.greedy \
-        --glob "$PWD/datasets/pathtracker_32_32_32/1_dist_speed_4/tfrecords/test-*" \
-        --n 2500 > results/greedy_1_4_32.txt 2>&1
-    gcommit "Held-out test_perf for every speed-4 cold-start checkpoint + greedy bar on the real shard" \
-        results/s4cold_eval_*/test_perf_*.npz results/greedy_1_4_32.txt
-    touch /tmp/r4_evalS4C_done
+    # CPU-side greedy bar: stderr to the log dir (a warning must not pollute
+    # the committed number), gated on queue_abort, committed only on rc 0.
+    if [ ! -e /tmp/queue_abort ] \
+       && PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pathtracker_tpu.eval.greedy \
+            --glob "$PWD/datasets/pathtracker_32_32_32/1_dist_speed_4/tfrecords/test-*" \
+            --n 2500 > results/greedy_1_4_32.txt 2>"$LOGDIR/greedy_1_4_32.err"; then
+        gcommit "Held-out test_perf for every speed-4 cold-start checkpoint + greedy bar on the real shard" \
+            results/s4cold_eval_*/test_perf_*.npz results/greedy_1_4_32.txt
+    else
+        rm -f results/greedy_1_4_32.txt
+        all_ok=0
+        gcommit "Held-out test_perf for every speed-4 cold-start checkpoint" \
+            results/s4cold_eval_*/test_perf_*.npz
+    fi
+    # Done-marker only when every eval AND the greedy bar succeeded — a
+    # relaunch after a transient stall must re-enter this stage.
+    [ "$all_ok" = 1 ] && [ ! -e /tmp/queue_abort ] && touch /tmp/r4_evalS4C_done
 fi
 
 # --- stage 3: retry the three transient-backend-stall eval casualties ---
 if [ ! -e /tmp/r4_evalretry_done ] && [ -e /tmp/r4_evalS4C_done ]; then
+    all_ok=1
     run_stage eval_chainD_0068_epoch_01 python test_model.py --model InT \
         --name chainD_eval_0068_epoch_01 --dist 14 --speed 1 --length 64 \
         -b 128 --bf16 \
-        --ckpt "$D/saved_models/model_val_acc_0068_epoch_01_checkpoint.pth.tar"
+        --ckpt "$D/saved_models/model_val_acc_0068_epoch_01_checkpoint.pth.tar" \
+        || all_ok=0
     run_stage eval_chainC_0066_epoch_08 python test_model.py --model InT \
         --name chainC_eval_0066_epoch_08 --dist 14 --speed 1 --length 64 \
         -b 128 --bf16 \
-        --ckpt "results_conv/64_1_14/chainC/saved_models/model_val_acc_0066_epoch_08_checkpoint.pth.tar"
+        --ckpt "results_conv/64_1_14/chainC/saved_models/model_val_acc_0066_epoch_08_checkpoint.pth.tar" \
+        || all_ok=0
     run_stage eval_chainC_0066_epoch_12 python test_model.py --model InT \
         --name chainC_eval_0066_epoch_12 --dist 14 --speed 1 --length 64 \
         -b 128 --bf16 \
-        --ckpt "results_conv/64_1_14/chainC/saved_models/model_val_acc_0066_epoch_12_checkpoint.pth.tar"
+        --ckpt "results_conv/64_1_14/chainC/saved_models/model_val_acc_0066_epoch_12_checkpoint.pth.tar" \
+        || all_ok=0
     gcommit "Retry the three transient-backend-stall eval casualties (chainD 68@1, chainC 66@8, 66@12)" \
         results/chainD_eval_0068_epoch_01/test_perf_*.npz \
         results/chainC_eval_0066_epoch_08/test_perf_*.npz \
         results/chainC_eval_0066_epoch_12/test_perf_*.npz
-    touch /tmp/r4_evalretry_done
+    # This stage EXISTS to retry stalls — another stall must not mark it done.
+    [ "$all_ok" = 1 ] && [ ! -e /tmp/queue_abort ] && touch /tmp/r4_evalretry_done
 fi
 
 # --- stage 4: quiet-chip bench (no contention, fresh boot) ---
@@ -159,6 +187,13 @@ if [ ! -e /tmp/r4_bench_done ] && [ -e /tmp/r4_evalretry_done ]; then
 fi
 
 # --- stage 5: chainE — batch-180 anneal from the chainD best (68.67%) ---
+if [ ! -e /tmp/r4_chainE_done ] && [ -e /tmp/r4_bench_done ] \
+   && [ ! -e /tmp/r4_roots_done ]; then
+    # Make a silently-failed background resynthesis visible in the queue log
+    # instead of dropping straight into the coldstart loop.
+    echo "queue: SKIPPING chainE — /tmp/r4_roots_done missing (background" \
+         "aug-root resynthesis failed or never ran; see $LOGDIR/roots.log)"
+fi
 if [ ! -e /tmp/r4_chainE_done ] && [ -e /tmp/r4_bench_done ] \
    && [ -e /tmp/r4_roots_done ]; then
     run_stage chainE env PATHTRACKER_DATA_ROOT="$PWD/datasets_aug" \
@@ -176,16 +211,17 @@ fi
 
 # --- stage 6: held-out eval of every chainE checkpoint ---
 if [ ! -e /tmp/r4_evalE_done ] && [ -e /tmp/r4_chainE_done ]; then
+    all_ok=1
     for ck in "$E"/saved_models/model_val_acc_*.tar; do
         [ -e "$ck" ] || continue
         tag=$(basename "$ck" | sed 's/model_val_acc_//;s/_checkpoint.pth.tar//')
         run_stage "eval_chainE_$tag" python test_model.py --model InT \
             --name "chainE_eval_$tag" --dist 14 --speed 1 --length 64 \
-            -b 128 --bf16 --ckpt "$ck"
+            -b 128 --bf16 --ckpt "$ck" || all_ok=0
     done
     gcommit "Held-out test_perf for every chainE (batch-180) checkpoint" \
         results/chainE_eval_*/test_perf_*.npz
-    touch /tmp/r4_evalE_done
+    [ "$all_ok" = 1 ] && [ ! -e /tmp/queue_abort ] && touch /tmp/r4_evalE_done
 fi
 
 # --- stage 7: coldstart continuation (reference protocol), rest of round ---
