@@ -6,6 +6,14 @@
 #                 the aug (2x, 40k-clip) root is 7.9 GB device-resident and
 #                 does not fit HBM next to batch-180 activations, so this
 #                 run uses the canonical 20k root (still device-resident).
+#                 Even so, a monolithic batch 180 OOMs on its own: the
+#                 scan-saved activations (f32[64,180,32,32,32] + remat
+#                 peers) reach 13.5 GB HLO temp next to the 3.9 GB resident
+#                 shard. The reference's effective batch is reproduced as
+#                 2 x 90 gradient accumulation (optax.MultiSteps): identical
+#                 averaged-gradient trajectory at half the activation
+#                 footprint; the one semantic delta is BN batch stats over
+#                 90 instead of 180 clips (noted in BASELINE.md).
 #                 Cosine 5e-5 -> 0 anneal from the chainD best-held-out ckpt
 #                 (68.67%), reference batch (train_InT.sh:3 `-b 180`).
 #   2. evals    — held-out test_perf for every chainE best-val checkpoint.
@@ -91,13 +99,13 @@ fi
 # --- stage 1: chainE, the batch-180 lever (canonical root; aug root OOMs) ---
 if [ ! -e /tmp/r5_chainE_done ]; then
     if run_stage chainE python mainclean.py --model InT --name chainE \
-        --length 64 --speed 1 --dist 14 -b 180 --lr 5e-5 \
+        --length 64 --speed 1 --dist 14 -b 90 --accum-steps 2 --lr 5e-5 \
         --lr-schedule cosine --epochs 30 --bf16 --device-data \
         --fused-steps 12 --ema 0.998 \
         --synth-train 20000 --synth-test 2500 \
         --results-dir results_conv --auto-resume \
         --ckpt "$CHAIND_BEST"; then
-        gcommit "chainE (reference batch 180, train_InT.sh lever): cosine anneal from the chainD 68.67% ckpt on the canonical 20k root — the aug-root device-resident variant OOMs HBM (7.9GB data + b180 activations)" \
+        gcommit "chainE (reference effective batch 180 as 2x90 accumulation, train_InT.sh lever): cosine anneal from the chainD 68.67% ckpt on the canonical 20k root — monolithic b180 OOMs HBM (13.5G activations; +7.9G data for the aug root)" \
             "$E"/train.npz "$E"/val.npz "$E"/hp_dict.npz \
             "$E"/saved_models/model_last_epoch_checkpoint.pth.tar \
             "$E"/saved_models/model_val_acc_*.tar
